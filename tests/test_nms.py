@@ -1,0 +1,87 @@
+"""NMS parity tests against an independent numpy implementation of the
+reference's CPU NMS semantics (lib/model/nms/nms_cpu.py:6-34)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from i2vsgg_tpu.ops.nms import nms_indices, batched_nms_indices
+
+
+def np_greedy_nms(dets, thresh):
+    """Reference semantics: keep order of descending score, suppress ovr>thresh."""
+    x1, y1, x2, y2, scores = dets.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][ovr <= thresh]
+    return np.array(keep, np.int64)
+
+
+def rand_dets(rng, n, span=120):
+    x1 = rng.uniform(0, span, n)
+    y1 = rng.uniform(0, span, n)
+    w = rng.uniform(5, 60, n)
+    h = rng.uniform(5, 60, n)
+    s = rng.uniform(0, 1, n)
+    return np.stack([x1, y1, x1 + w, y1 + h, s], 1).astype(np.float32)
+
+
+def test_nms_matches_reference_semantics(rng):
+    for n in (1, 7, 64, 300):
+        dets = rand_dets(rng, n)
+        exp = np_greedy_nms(dets, 0.5)
+        keep, valid = nms_indices(jnp.asarray(dets[:, :4]),
+                                  jnp.asarray(dets[:, 4]), 0.5, max_out=n)
+        got = np.asarray(keep)[np.asarray(valid)]
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_nms_max_out_truncation(rng):
+    dets = rand_dets(rng, 100)
+    exp = np_greedy_nms(dets, 0.7)
+    keep, valid = nms_indices(jnp.asarray(dets[:, :4]),
+                              jnp.asarray(dets[:, 4]), 0.7, max_out=5)
+    got = np.asarray(keep)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, exp[:len(got)])
+    assert len(got) == min(5, len(exp))
+
+
+def test_nms_valid_mask(rng):
+    dets = rand_dets(rng, 50)
+    valid_in = np.zeros(50, bool)
+    valid_in[:20] = True
+    exp = np_greedy_nms(dets[:20], 0.5)
+    keep, valid = nms_indices(jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]),
+                              0.5, max_out=50, valid=jnp.asarray(valid_in))
+    got = np.asarray(keep)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_nms_identical_boxes():
+    # duplicates of one box: only one survives
+    boxes = jnp.asarray(np.tile([[10.0, 10, 50, 50]], (8, 1)))
+    scores = jnp.asarray(np.linspace(0.1, 0.9, 8, dtype=np.float32))
+    keep, valid = nms_indices(boxes, scores, 0.5, max_out=8)
+    assert int(np.asarray(valid).sum()) == 1
+    assert int(np.asarray(keep)[0]) == 7  # highest score
+
+
+def test_batched_nms(rng):
+    dets = np.stack([rand_dets(rng, 40) for _ in range(3)])
+    keep, valid = batched_nms_indices(
+        jnp.asarray(dets[..., :4]), jnp.asarray(dets[..., 4]), 0.4, 40)
+    for b in range(3):
+        exp = np_greedy_nms(dets[b], 0.4)
+        got = np.asarray(keep[b])[np.asarray(valid[b])]
+        np.testing.assert_array_equal(got, exp)

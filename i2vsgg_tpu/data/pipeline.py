@@ -1,0 +1,173 @@
+"""Host-side input pipeline: decode -> normalize -> resize -> static pad.
+
+Rebuild of ``lib/roi_data_layer/{minibatch,roibatchLoader}.py`` +
+``lib/model/utils/blob.py`` with TPU-first static shaping:
+
+* per-image prep preserved exactly: BGR channel order, caffe pixel-mean
+  subtraction (``config.py:264``), shortest-side resize to SCALES[0]=600 with
+  NO max-size clamp (the reference comments it out, ``blob.py:46-47``),
+  grayscale -> 3-channel, horizontal flip augmentation.
+* instead of the reference's dynamic batch-max padding, images are padded
+  into a small set of static buckets (multiples of the feat stride) so each
+  bucket is one compiled XLA program. ``im_info`` carries the TRUE resized
+  size, confining anchors/proposals to real pixels (an improvement over the
+  reference, which clips against the padded blob for batch>1).
+* gt boxes are scaled by im_scale and zero-padded to
+  ``TRAIN.MAX_NUM_GT_BOXES`` with shuffle-truncation when exceeding
+  (``roibatchLoader.py:185-209``).
+* aspect-grouped batch sampling (``net_utils.py:13-36`` sampler +
+  ratio-sorted roidb); ``need_crop`` images are skipped in training exactly
+  like the reference drivers (``roibatchLoader.py:89-90`` +
+  ``trainval_net_instance_styleD_bilinear.py:242-243``).
+* a double-buffered background prefetcher overlaps decode with device
+  compute; the optional C++ decode runtime (i2vsgg_tpu/runtime) plugs in
+  underneath.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from i2vsgg_tpu.config import Config
+
+# landscape bucket widths for height 608; portrait is the transpose.
+DEFAULT_BUCKETS = (608, 736, 896, 1056, 1216)
+
+
+def imread_bgr(path: str) -> np.ndarray:
+    import cv2
+    im = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR, 3ch (gray auto-expanded)
+    if im is None:
+        raise FileNotFoundError(path)
+    return im
+
+
+def prep_image(im_bgr: np.ndarray, target_size: int,
+               pixel_means: Sequence[float]) -> Tuple[np.ndarray, float]:
+    """Mean-subtract + shortest-side resize. [blob.py:20-52]"""
+    import cv2
+    im = im_bgr.astype(np.float32) - np.asarray(pixel_means, np.float32)
+    h, w = im.shape[:2]
+    im_scale = float(target_size) / min(h, w)
+    im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
+                    interpolation=cv2.INTER_LINEAR)
+    return im, im_scale
+
+
+def bucket_hw(h: int, w: int, buckets: Sequence[int] = DEFAULT_BUCKETS,
+              base: int = 608) -> Tuple[int, int]:
+    """Static padded shape for a resized image."""
+    long_side = max(h, w)
+    for b in buckets:
+        if long_side <= b:
+            padded = b
+            break
+    else:
+        padded = buckets[-1]
+    return (base, padded) if w >= h else (padded, base)
+
+
+class DetectionLoader:
+    """Batched detection data iterator with aspect grouping + prefetch."""
+
+    def __init__(self, roidb: List[Dict], ratio_index: np.ndarray,
+                 cfg: Config, batch_size: int = 1, training: bool = True,
+                 seed: int = 0, buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 prefetch: int = 2):
+        self.cfg = cfg
+        self.training = training
+        self.batch_size = batch_size
+        self.buckets = buckets
+        self.rng = np.random.RandomState(seed)
+        if training:
+            roidb_sorted = [roidb[i] for i in ratio_index]
+            self.entries = [e for e in roidb_sorted if not e.get("need_crop")]
+        else:
+            self.entries = list(roidb)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.entries) // self.batch_size if self.training \
+            else (len(self.entries) + self.batch_size - 1) // self.batch_size
+
+    # ---------- single item --------------------------------------------
+
+    def _load_one(self, entry: Dict):
+        im = imread_bgr(entry["image"])
+        if entry.get("flipped"):
+            im = im[:, ::-1, :]
+        target = (self.cfg.TRAIN.SCALES if self.training
+                  else self.cfg.TEST.SCALES)[0]
+        im, scale = prep_image(im, target, self.cfg.PIXEL_MEANS)
+        boxes = entry["boxes"] * scale
+        classes = entry["gt_classes"]
+        return im, scale, boxes, classes
+
+    def _pack_batch(self, items):
+        cfg = self.cfg
+        g = cfg.TRAIN.MAX_NUM_GT_BOXES
+        hw = [bucket_hw(im.shape[0], im.shape[1], self.buckets)
+              for im, *_ in items]
+        ph = max(h for h, w in hw)
+        pw = max(w for h, w in hw)
+        b = len(items)
+        images = np.zeros((b, ph, pw, 3), np.float32)
+        im_info = np.zeros((b, 3), np.float32)
+        gt = np.zeros((b, g, 5), np.float32)
+        num_boxes = np.zeros((b,), np.int32)
+        for i, (im, scale, boxes, classes) in enumerate(items):
+            h, w = im.shape[:2]
+            h, w = min(h, ph), min(w, pw)
+            images[i, :h, :w] = im[:h, :w]
+            im_info[i] = [h, w, scale]
+            n = len(boxes)
+            if n > g:
+                order = self.rng.permutation(n)[:g]
+                boxes, classes = boxes[order], classes[order]
+                n = g
+            if n:
+                gt[i, :n, :4] = np.clip(boxes[:, :4], 0,
+                                        [w - 1, h - 1, w - 1, h - 1])
+                gt[i, :n, 4] = classes
+            num_boxes[i] = n
+        return {"image": images, "im_info": im_info, "gt_boxes": gt,
+                "num_boxes": num_boxes}
+
+    # ---------- iteration ----------------------------------------------
+
+    def _index_order(self) -> List[List[int]]:
+        n = len(self.entries)
+        bs = self.batch_size
+        if not self.training:
+            return [list(range(i, min(i + bs, n))) for i in range(0, n, bs)]
+        # aspect-grouped: consecutive (ratio-sorted) groups in random order
+        n_groups = n // bs
+        groups = [list(range(gidx * bs, (gidx + 1) * bs))
+                  for gidx in self.rng.permutation(n_groups)]
+        return groups
+
+    def _produce(self, order, out_q):
+        try:
+            for group in order:
+                items = [self._load_one(self.entries[i]) for i in group]
+                batch = self._pack_batch(items)
+                batch["indices"] = np.asarray(group, np.int64)
+                out_q.put(batch)
+        finally:
+            out_q.put(None)
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = self._index_order()
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(order, q),
+                             daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                return
+            yield batch

@@ -1,0 +1,183 @@
+"""Backbones: ResNet-50/101 (frozen-BN Faster R-CNN trunk) and VGG16.
+
+TPU-native reimplementation of the reference's backbone assembly
+(``lib/model/faster_rcnn/resnet_instance_styleD_bilinear.py:148-443``):
+
+* caffe-convention Bottleneck — stride sits on the FIRST 1x1 conv
+  (``resnet_instance_styleD_bilinear.py:186`` "# change") — matching the
+  caffe-pretrained weights the reference loads.
+* all BatchNorms run frozen (inference stats, no grads), reproducing the
+  reference's ``set_bn_fix`` + ``train()`` override (`:392-439`); here a
+  frozen BN is a pure affine op, so train==eval by construction.
+* the trunk is split exactly like ``RCNN_base`` = conv1..layer3 with the
+  layer2 output tapped as the style-discriminator input (`extract_feature`,
+  `:412-420`), and ``RCNN_top`` = layer4 + spatial mean (`_head_to_tail`,
+  `:441-443`).
+
+Layout is NHWC (channels-last = TPU lane dimension); convs run in
+``compute_dtype`` (bf16 by default) with fp32 params, letting the MXU do the
+heavy lifting.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+RESNET_STAGES = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+    # tiny debug/test variant (full channel widths, one block per stage)
+    10: (1, 1, 1, 1),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with frozen statistics AND frozen affine params.
+
+    The reference freezes every BN's params and runs them in eval mode
+    (``set_bn_fix``/``set_bn_eval``); equivalently this is a constant affine
+    transform. Params live in the regular "params" collection (so checkpoint
+    porting is uniform) but are stop-gradient'ed, so no optimizer masking is
+    needed for correctness.
+    """
+    features: int
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        mul = jax.lax.stop_gradient(scale * jax.lax.rsqrt(var + self.eps))
+        add = jax.lax.stop_gradient(bias - mean * mul)
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, name=name)
+        residual = x
+        # caffe convention: stride on the first 1x1 conv
+        out = conv(self.planes, 1, self.stride, "conv1")(x)
+        out = FrozenBatchNorm(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, 1, "conv2")(out)
+        out = FrozenBatchNorm(self.planes, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, 1, 1, "conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        if self.downsample:
+            residual = conv(self.planes * 4, 1, self.stride, "downsample_conv")(x)
+            residual = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class ResNetStage(nn.Module):
+    planes: int
+    blocks: int
+    stride: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = Bottleneck(self.planes, self.stride, downsample=True,
+                       dtype=self.dtype, name="block0")(x)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, 1, dtype=self.dtype, name=f"block{i}")(x)
+        return x
+
+
+class ResNetTrunk(nn.Module):
+    """conv1..layer3 (stride 16) with the layer2 tap.
+
+    ``__call__(images)`` -> (c4_feat [B,H/16,W/16,1024],
+                             c3_tap [B,H/8,W/8,512])
+    """
+    depth: int = 101
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        n1, n2, n3, _ = RESNET_STAGES[self.depth]
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = ResNetStage(64, n1, 1, self.dtype, name="layer1")(x)
+        tap = ResNetStage(128, n2, 2, self.dtype, name="layer2")(x)
+        x = ResNetStage(256, n3, 2, self.dtype, name="layer3")(tap)
+        return x, tap
+
+
+class ResNetHead(nn.Module):
+    """layer4 over pooled 7x7 ROI features + global spatial mean -> (R, 2048).
+    [_head_to_tail, resnet_instance_styleD_bilinear.py:441-443]"""
+    depth: int = 101
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        _, _, _, n4 = RESNET_STAGES[self.depth]
+        x = x.astype(self.dtype)
+        x = ResNetStage(512, n4, 2, self.dtype, name="layer4")(x)
+        return jnp.mean(x, axis=(1, 2))
+
+
+class VGG16Trunk(nn.Module):
+    """VGG16 conv1_1..conv5_3 (stride 16, final pool dropped) — the
+    ``vgg16.yml`` backbone variant. The conv4_3 output serves as the style
+    tap (the analogue of the ResNet layer2 tap)."""
+    dtype: jnp.dtype = jnp.bfloat16
+
+    CFG: Sequence = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                     512, 512, 512, "M", 512, 512, 512)
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        tap = None
+        conv_i = 0
+        pools = 0
+        for v in self.CFG:
+            if v == "M":
+                if pools == 3:
+                    tap = x
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                pools += 1
+            else:
+                x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)],
+                            dtype=self.dtype, name=f"conv{conv_i}")(x)
+                x = nn.relu(x)
+                conv_i += 1
+        return x, tap
+
+
+class VGG16Head(nn.Module):
+    """fc6/fc7 head over flattened 7x7x512 pooled features -> (R, 4096)."""
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = x.reshape(x.shape[0], -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc6")(x))
+        x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(4096, dtype=self.dtype, name="fc7")(x))
+        x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        return x

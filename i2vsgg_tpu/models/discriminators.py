@@ -1,0 +1,109 @@
+"""Domain discriminators + gradient reversal for adversarial adaptation.
+
+TPU-native rebuild of the reference's two discriminators
+(``lib/model/faster_rcnn/resnet_instance_styleD_bilinear.py:38-146``) and the
+GRL autograd Function (``lib/model/utils/net_utils.py:52-61``):
+
+* ``grad_reverse`` — identity forward, ``-lambda * g`` backward, as a
+  ``jax.custom_vjp`` (the JAX-idiomatic GRL).
+* ``NetDPixel`` — instance-level patch discriminator: three 1x1 convs
+  (1024->512->128->1, no bias) + sigmoid over 7x7 ROI feature patches;
+  optional global-average context feature (``ic``).
+* ``NetDStyle`` — factorized bilinear-pooling style discriminator over the
+  layer2 (512-ch) feature map: two rank-5 projections, hadamard product,
+  rank+spatial sum, signed-sqrt, L2 norm, linear->sigmoid. The spatial sum
+  is einsum-shaped so XLA maps it onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@jax.custom_vjp
+def grad_reverse(x, lamb):
+    return x
+
+
+def _gr_fwd(x, lamb):
+    return x, lamb
+
+
+def _gr_bwd(lamb, g):
+    return (-lamb * g, None)
+
+
+grad_reverse.defvjp(_gr_fwd, _gr_bwd)
+
+
+class NetDPixel(nn.Module):
+    """Patch discriminator on pooled ROI features (R, 7, 7, 1024).
+    [resnet_instance_styleD_bilinear.py:38-83]
+
+    Returns per-pixel probabilities (R, 7, 7, 1); with ``context`` also the
+    128-d global-average feature tapped after conv2.
+    """
+    context: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lamb=1.0):
+        x = grad_reverse(x.astype(self.dtype), jnp.asarray(lamb, self.dtype))
+        conv = lambda f, name: nn.Conv(f, (1, 1), use_bias=False,
+                                       dtype=self.dtype, name=name)
+        x = nn.relu(conv(512, "conv1")(x))
+        x = nn.relu(conv(128, "conv2")(x))
+        if self.context:
+            feat = jnp.mean(x, axis=(1, 2))                  # (R, 128)
+            return jax.nn.sigmoid(conv(1, "conv3")(x)), feat
+        return jax.nn.sigmoid(conv(1, "conv3")(x))
+
+
+class NetDStyle(nn.Module):
+    """Factorized bilinear style discriminator on (B, H, W, 512) features.
+    [resnet_instance_styleD_bilinear.py:85-146]
+    """
+    context: bool = False
+    dim: int = 512
+    rank: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lamb=1.0):
+        b = x.shape[0]
+        x = grad_reverse(x.astype(self.dtype), jnp.asarray(lamb, self.dtype))
+        x = x.reshape(b, -1, x.shape[-1])                    # (B, HW, 512)
+        x1 = nn.Dense(self.dim * self.rank, dtype=self.dtype, name="fc_1")(x)
+        x2 = nn.Dense(self.dim * self.rank, dtype=self.dtype, name="fc_2")(x)
+        z = (x1 * x2).reshape(b, -1, self.dim, self.rank)
+        z = jnp.sum(z, axis=-1)                              # (B, HW, dim)
+        z = jnp.sum(z, axis=1)                               # (B, dim)
+        z = jnp.sqrt(nn.relu(z)) - jnp.sqrt(nn.relu(-z))     # signed sqrt
+        z = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+        out = jax.nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="fc1")(z))
+        if self.context:
+            return out, z
+        return out
+
+
+def lsgan_source_loss(d_out: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """0.5 * mean(D^2) — source pushed toward 0.
+    [trainval_net_instance_styleD_bilinear.py:284-285]"""
+    if valid is None:
+        return 0.5 * jnp.mean(d_out ** 2)
+    w = valid.astype(d_out.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0) * (d_out.size / d_out.shape[0])
+    return 0.5 * jnp.sum((d_out ** 2) * w.reshape((-1,) + (1,) * (d_out.ndim - 1))) / denom
+
+
+def lsgan_target_loss(d_out: jnp.ndarray, valid=None) -> jnp.ndarray:
+    """0.5 * mean((1-D)^2) — target pushed toward 1. [trainval...:293-295]"""
+    if valid is None:
+        return 0.5 * jnp.mean((1.0 - d_out) ** 2)
+    w = valid.astype(d_out.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0) * (d_out.size / d_out.shape[0])
+    return 0.5 * jnp.sum(((1.0 - d_out) ** 2) * w.reshape((-1,) + (1,) * (d_out.ndim - 1))) / denom

@@ -1,0 +1,189 @@
+"""Embedding-based relation (SGG) head — Stage B.
+
+TPU-native rebuild of the ``vrd`` module
+(``lib/model/faster_rcnn/resnet_SGG_emb.py:64-264``) and the coherent parts
+of ``faster_rcnn_SGG_emb.py`` (train ``forward_predicate`` `:164-274`, eval
+``forward_relation`` `:580-697`):
+
+* object + union ROIs are pooled in ONE RoIPool call and pushed through a
+  shared fc6/fc7 tower as one batched matmul (the reference runs the tower
+  twice); the subject/object gathers are index selects.
+* the union visual embedding (fc8), object-pair visual embedding (fc_so),
+  and the conv tower over 2x32x32 dual masks (spatial_type==2) are fused
+  by concat -> fc_fusion -> fc_rel exactly as the reference.
+* predicate scores = L2-normalized visual embedding @ L2-normalized
+  GloVe-MLP predicate embeddings^T (cosine similarity); multi-label BCE in
+  training, softmax at eval.
+* the reference's GPU->numpy->GPU round-trip of the backbone feature
+  (``faster_rcnn_SGG_emb.py:148-160``) becomes an on-device
+  ``lax.stop_gradient`` — only the relation head trains.
+* all pair counts are static: pairs are padded to ``max_pairs`` with a
+  validity mask (the loss and eval outputs are masked accordingly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from i2vsgg_tpu.ops.boxes import union_boxes, dual_mask
+from i2vsgg_tpu.ops.roi_pool import roi_pool
+from i2vsgg_tpu.ops.roi_align import roi_align_avg
+
+
+class PredicateEmbedder(nn.Module):
+    """GloVe 300-d -> emb_dim semantic predicate embeddings.
+    [resnet_SGG_emb.py:188-192 prd_sem_embeddings]"""
+    emb_dim: int = 300
+
+    @nn.compact
+    def __call__(self, prd_vecs):
+        x = nn.Dense(1024, name="fc0")(prd_vecs)
+        x = nn.leaky_relu(x, negative_slope=0.1)
+        return nn.Dense(self.emb_dim, name="fc1")(x)
+
+
+class VRDHead(nn.Module):
+    """Relation classification head over pooled features.
+
+    Args mirror the reference's ``args`` namespace
+    (parser_func.py vrd knobs): emb_dim, spatial_type, use_obj_visual.
+    """
+    emb_dim: int = 300
+    spatial_type: int = 2
+    use_obj_visual: bool = True
+    pooling_size: int = 7
+    dropout_rate: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fmap, obj_boxes, union_boxes_, spatial_fea,
+                 ix1, ix2, prd_vecs, *, deterministic: bool = True):
+        """
+        Args:
+          fmap: (B, H, W, C) backbone feature map (gradient-stopped by caller).
+          obj_boxes: (M, 5) [batch_idx, x1, y1, x2, y2] object rois.
+          union_boxes_: (P, 5) union rois.
+          spatial_fea: (P, 32, 32, 2) dual masks (spatial_type==2) or (P, 8).
+          ix1, ix2: (P,) subject/object indices into obj_boxes.
+          prd_vecs: (n_rel, 300) GloVe predicate vectors.
+
+        Returns: dict with 'scores' (P, n_rel) cosine logits and
+          'union_emb' (P, emb_dim).
+        """
+        p = self.pooling_size
+        m = obj_boxes.shape[0]
+
+        # one pooled batch for objects + unions -> shared fc6/fc7 tower
+        all_rois = jnp.concatenate([obj_boxes, union_boxes_], axis=0)
+        pooled = roi_pool(fmap, all_rois, p, p, 1.0 / 16.0)
+        x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(4096, name="fc6")(x))
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(4096, name="fc7")(x))
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+
+        obj_feat = nn.Dense(self.emb_dim, name="so_vis_embeddings")(x[:m])
+        x_u = nn.relu(nn.Dense(256, name="fc8")(x[m:]))
+
+        feats = [x_u]
+        if self.use_obj_visual:
+            x_s = obj_feat[ix1]
+            x_o = obj_feat[ix2]
+            so = nn.relu(nn.Dense(256, name="fc_so")(
+                jnp.concatenate([x_s, x_o], axis=1)))
+            feats.append(so)
+
+        if self.spatial_type == 1:
+            lo = nn.relu(nn.Dense(256, name="fc_lov")(spatial_fea))
+            feats.append(lo)
+        elif self.spatial_type == 2:
+            # conv tower over (P, 32, 32, 2) dual masks
+            # [resnet_SGG_emb.py:105-109]
+            z = spatial_fea.astype(self.dtype)
+            z = nn.relu(nn.Conv(96, (5, 5), strides=(2, 2), padding="SAME",
+                                name="conv_lo0")(z))
+            z = nn.relu(nn.Conv(128, (5, 5), strides=(2, 2), padding="SAME",
+                                name="conv_lo1")(z))
+            z = nn.relu(nn.Conv(64, (8, 8), padding="VALID",
+                                name="conv_lo2")(z))
+            z = z.reshape(z.shape[0], -1)
+            lo = nn.relu(nn.Dense(256, name="fc_lov")(z))
+            feats.append(lo)
+
+        x = jnp.concatenate(feats, axis=1)
+        x = nn.relu(nn.Dense(256, name="fc_fusion")(x))
+        vis_emb = nn.Dense(self.emb_dim, name="fc_rel")(x)
+
+        prd_emb = PredicateEmbedder(self.emb_dim,
+                                    name="prd_sem_embeddings")(prd_vecs)
+        prd_emb = prd_emb / jnp.maximum(
+            jnp.linalg.norm(prd_emb, axis=1, keepdims=True), 1e-12)
+        vis_n = vis_emb / jnp.maximum(
+            jnp.linalg.norm(vis_emb, axis=1, keepdims=True), 1e-12)
+        scores = vis_n @ prd_emb.T                      # (P, n_rel) in [-1, 1]
+        return {"scores": scores, "union_emb": vis_emb,
+                "prd_emb": prd_emb, "obj_emb": obj_feat}
+
+
+def bce_multilabel_loss(scores, labels, pair_valid):
+    """BCEWithLogits averaged like the reference's ``nn.BCEWithLogitsLoss``
+    (mean over all elements) but masked to valid pairs.
+    [resnet_SGG_emb.py:95 criterion; faster_rcnn_SGG_emb.py:269]"""
+    logp = jax.nn.log_sigmoid(scores)
+    lognp = jax.nn.log_sigmoid(-scores)
+    per_elem = -(labels * logp + (1.0 - labels) * lognp)
+    w = pair_valid.astype(scores.dtype)[:, None]
+    return jnp.sum(per_elem * w) / jnp.maximum(jnp.sum(w) * scores.shape[1], 1.0)
+
+
+class SGGModel(nn.Module):
+    """Frozen-detector + VRD head relation model (Stage B).
+
+    Wraps a backbone trunk (params restored from the Stage-A checkpoint and
+    frozen via stop_gradient) and the VRD head. The driver supplies padded
+    pair tensors; union boxes and dual masks are computed on device.
+    """
+    trunk: nn.Module
+    vrd: VRDHead
+    n_rel: int
+
+    def __call__(self, images, im_info, obj_boxes, classes, ix1, ix2,
+                 pair_valid, prd_vecs, *, deterministic: bool = True):
+        """
+        Args:
+          images: (1, H, W, 3) preprocessed frame.
+          im_info: (3,) [h, w, scale].
+          obj_boxes: (M, 4) object boxes in input-image scale.
+          classes: (M,) int class ids (unused by the head but returned).
+          ix1/ix2: (P,) pair indices; pair_valid: (P,) bool.
+        Returns dict with 'scores' (P, n_rel) and spatial features.
+        """
+        base_feat, _ = self.trunk(images)
+        base_feat = jax.lax.stop_gradient(base_feat).astype(jnp.float32)
+
+        m = obj_boxes.shape[0]
+        col0 = jnp.zeros((m, 1), obj_boxes.dtype)
+        obj_rois = jnp.concatenate([col0, obj_boxes], axis=1)
+
+        sub = obj_boxes[ix1]
+        obj = obj_boxes[ix2]
+        u = union_boxes(sub, obj, im_info[0], im_info[1], margin=10.0)
+        union_rois = jnp.concatenate(
+            [jnp.zeros((u.shape[0], 1), u.dtype), u], axis=1)
+
+        # dual masks rasterized w.r.t. the union box frame: the reference
+        # builds masks of subject/object INSIDE the 32x32 union window
+        # (faster_rcnn_SGG_emb.py:255-260 uses image-frame masks of the
+        # subject and object boxes); here: image-frame, matching _getDualMask
+        m_s = dual_mask(im_info[0], im_info[1], sub)        # (P, 32, 32)
+        m_o = dual_mask(im_info[0], im_info[1], obj)
+        spatial = jnp.stack([m_s, m_o], axis=-1)            # (P, 32, 32, 2)
+
+        out = self.vrd(base_feat, obj_rois, union_rois, spatial,
+                       ix1, ix2, prd_vecs, deterministic=deterministic)
+        out["pair_valid"] = pair_valid
+        return out

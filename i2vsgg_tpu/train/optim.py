@@ -1,0 +1,81 @@
+"""Optimizer construction with the reference's parameter-group semantics.
+
+Reproduces ``trainval_net_instance_styleD_bilinear.py:134-148``:
+
+* SGD + momentum 0.9 (torch-style: buf = mu*buf + g; update = -lr*buf)
+* weight decay on non-bias params only (BIAS_DECAY=False)
+* bias params get 2x learning rate (DOUBLE_BIAS=True)
+* frozen params (conv1/bn1; all FrozenBN affines are stop-gradient'ed
+  already) receive zero updates.
+
+Built as optax transforms so the whole update runs inside the jitted train
+step on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import optax
+
+from i2vsgg_tpu.config import Config
+
+
+def _path_str(path) -> str:
+    return "/".join(getattr(k, "key", str(k)) for k in path)
+
+
+def make_label_fn(frozen_prefixes: Sequence[str]):
+    """Label each param: 'frozen' | 'bias' | 'weight'."""
+    def label(params):
+        def one(path, _):
+            s = _path_str(path)
+            for p in frozen_prefixes:
+                if s.startswith(p):
+                    return "frozen"
+            leaf = s.rsplit("/", 1)[-1]
+            return "bias" if leaf == "bias" else "weight"
+        return jax.tree_util.tree_map_with_path(one, params)
+    return label
+
+
+def sgd_reference(lr_schedule: Callable[[int], float] | float,
+                  cfg: Config,
+                  frozen_prefixes: Sequence[str] = ("trunk/conv1",
+                                                    "trunk/bn1")):
+    """Reference-parity SGD. ``lr_schedule`` maps step -> lr."""
+    t = cfg.TRAIN
+    if not callable(lr_schedule):
+        base = float(lr_schedule)
+        lr_schedule = lambda step: base  # noqa: E731
+
+    def group(double_lr: bool, decay: bool):
+        chain = []
+        if decay and t.WEIGHT_DECAY:
+            chain.append(optax.add_decayed_weights(t.WEIGHT_DECAY))
+        chain.append(optax.trace(decay=t.MOMENTUM))
+        mult = 2.0 if (double_lr and t.DOUBLE_BIAS) else 1.0
+        chain.append(optax.scale_by_schedule(
+            lambda step: -mult * lr_schedule(step)))
+        return optax.chain(*chain)
+
+    return optax.multi_transform(
+        {"weight": group(False, True),
+         "bias": group(True, bool(t.BIAS_DECAY)),
+         "frozen": optax.set_to_zero()},
+        make_label_fn(frozen_prefixes))
+
+
+def step_decay_schedule(base_lr: float, decay_step_epochs: int,
+                        gamma: float, steps_per_epoch: int):
+    """Epoch-boundary step decay: lr *= gamma every ``decay_step_epochs``
+    epochs (reference: `:232-234`)."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        n_decays = (epoch // decay_step_epochs).astype(jnp.float32) \
+            if hasattr(epoch, "astype") else float(epoch // decay_step_epochs)
+        return base_lr * jnp.power(gamma, n_decays)
+    return schedule

@@ -1,0 +1,127 @@
+"""End-to-end smoke tests of the domain-adaptive Faster R-CNN on tiny
+shapes: source-train forward/backward, target adversarial pass, inference
+pass, and one full optimizer step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from i2vsgg_tpu.config import Config
+from i2vsgg_tpu.models.faster_rcnn import FasterRCNN_DA
+from i2vsgg_tpu.train.det_da import (create_train_state, make_train_step,
+                                     det_da_loss)
+from i2vsgg_tpu.train.optim import sgd_reference
+
+TINY = Config().replace(
+    TRAIN=Config().TRAIN.__class__(
+        RPN_PRE_NMS_TOP_N=200, RPN_POST_NMS_TOP_N=32,
+        RPN_POST_NMS_TOP_N_TARGET=16, RPN_BATCHSIZE=32, BATCH_SIZE=16,
+        MAX_NUM_GT_BOXES=5),
+    TEST=Config().TEST.__class__(RPN_PRE_NMS_TOP_N=100, RPN_POST_NMS_TOP_N=16),
+    COMPUTE_DTYPE="float32",
+)
+
+N_CLASSES = 6
+B, H, W = 2, 64, 80
+
+
+def make_batch(rng, with_gt=True):
+    image = rng.randn(B, H, W, 3).astype(np.float32) * 10
+    im_info = np.tile([[H, W, 1.0]], (B, 1)).astype(np.float32)
+    gt = np.zeros((B, 5, 5), np.float32)
+    if with_gt:
+        for b in range(B):
+            for k in range(3):
+                x1, y1 = rng.uniform(0, 40, 2)
+                w, h = rng.uniform(8, 30, 2)
+                gt[b, k] = [x1, y1, min(x1 + w, W - 1), min(y1 + h, H - 1),
+                            rng.randint(1, N_CLASSES)]
+    return {"image": jnp.asarray(image), "im_info": jnp.asarray(im_info),
+            "gt_boxes": jnp.asarray(gt)}
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = FasterRCNN_DA(num_classes=N_CLASSES, cfg=TINY, backbone="res10",
+                          ic=True, gc=True)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "sampling2": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        batch["image"], batch["im_info"], batch["gt_boxes"],
+        mode="train_source")
+    return model, variables["params"]
+
+
+def test_train_source_losses_finite(model_and_params, rng):
+    model, params = model_and_params
+    batch = make_batch(rng)
+    out = model.apply(
+        {"params": params}, batch["image"], batch["im_info"],
+        batch["gt_boxes"], mode="train_source",
+        rngs={"sampling": jax.random.PRNGKey(1),
+              "sampling2": jax.random.PRNGKey(2),
+              "dropout": jax.random.PRNGKey(3)})
+    for k in ("rpn_loss_cls", "rpn_loss_box", "rcnn_loss_cls",
+              "rcnn_loss_bbox"):
+        assert np.isfinite(float(out[k])), k
+    assert out["rois"].shape == (B, 16, 5)
+    assert out["d_instance"].shape[0] == B * 16
+    assert out["d_style"].shape == (B, 1)
+    # discriminator outputs are probabilities
+    assert float(jnp.min(out["d_instance"])) >= 0.0
+    assert float(jnp.max(out["d_instance"])) <= 1.0
+
+
+def test_target_pass(model_and_params, rng):
+    model, params = model_and_params
+    batch = make_batch(rng, with_gt=False)
+    out = model.apply({"params": params}, batch["image"], batch["im_info"],
+                      mode="target",
+                      rngs={"dropout": jax.random.PRNGKey(0)})
+    # target proposals capped at RPN_POST_NMS_TOP_N_TARGET=16
+    assert out["d_instance"].shape[0] == B * 16
+    assert out["d_style"].shape == (B, 1)
+
+
+def test_inference_pass(model_and_params, rng):
+    model, params = model_and_params
+    batch = make_batch(rng, with_gt=False)
+    out = model.apply({"params": params}, batch["image"], batch["im_info"],
+                      mode="inference")
+    assert out["rois"].shape == (B, 16, 5)
+    assert out["cls_prob"].shape == (B, 16, N_CLASSES)
+    assert out["bbox_pred"].shape == (B, 16, 4 * N_CLASSES)
+    probs = np.asarray(out["cls_prob"])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_full_train_step_updates_params(model_and_params, rng):
+    model, params = model_and_params
+    tx = sgd_reference(1e-3, TINY)
+    state = create_train_state(params, tx)
+    step = make_train_step(model, tx, eta=0.1, eta_style=0.001,
+                           style_lambda=1.0, cr=True)
+    batch_s = make_batch(rng)
+    batch_t = make_batch(rng, with_gt=False)
+    new_state, metrics = step(state, batch_s, batch_t, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["loss"]))
+    # a trainable weight changed
+    w0 = params["cls_score"]["kernel"]
+    w1 = new_state.params["cls_score"]["kernel"]
+    assert float(jnp.max(jnp.abs(w1 - w0))) > 0
+    # frozen conv1 did not change
+    c0 = params["trunk"]["conv1"]["kernel"]
+    c1 = new_state.params["trunk"]["conv1"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    # frozen BN affines did not change
+    b0 = params["trunk"]["layer2"]["block0"]["bn1"]["scale"]
+    b1 = new_state.params["trunk"]["layer2"]["block0"]["bn1"]["scale"]
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    # GRL: discriminator loss gradients reached the trunk (layer3 weight moved)
+    t0 = params["trunk"]["layer3"]["block0"]["conv1"]["kernel"]
+    t1 = new_state.params["trunk"]["layer3"]["block0"]["conv1"]["kernel"]
+    assert float(jnp.max(jnp.abs(t1 - t0))) > 0

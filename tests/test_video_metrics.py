@@ -1,0 +1,161 @@
+"""Tests for host-side video association + vIoU metrics, using hand-built
+scenarios with known answers (semantics from lib/utils.py, see module docs)."""
+
+import numpy as np
+
+from i2vsgg_tpu.video.association import (association,
+                                          greedy_relational_association)
+from i2vsgg_tpu.video.metrics import (viou, evaluate, eval_detection_scores,
+                                      eval_tagging_scores, detection_output)
+
+OBJS = ["__background__", "person", "dog"]
+PREDS = ["ride", "walk"]
+
+
+def box(x=0):
+    return [10.0 + x, 10.0, 50.0 + x, 50.0]
+
+
+def make_frames(n, conf=0.9, shift=0.0):
+    """n frames of one (person, ride, dog) detection, slowly moving."""
+    frames = []
+    for f in range(n):
+        pred = [[conf, [1, 0, 2], [box(f * shift), box(f * shift + 2)], 0]]
+        frames.append([f, pred])
+    return frames
+
+
+def test_viou_identical():
+    traj = [box()] * 10
+    assert viou(traj, [0, 10], traj, [0, 10]) == 1.0
+
+
+def test_viou_disjoint_durations():
+    traj = [box()] * 5
+    assert viou(traj, [0, 5], traj, [5, 10]) == 0.0
+
+
+def test_viou_partial_overlap():
+    t1 = [box()] * 10
+    t2 = [box()] * 10
+    # overlap of 5 frames out of 10+10 -> 5/(10+10-5)
+    got = viou(t1, [0, 10], t2, [5, 15])
+    np.testing.assert_allclose(got, 5.0 / 15.0)
+
+
+def test_greedy_association_links_track():
+    frames = make_frames(12, shift=1.0)  # small motion, IoU >> 0.5
+    rels = greedy_relational_association(frames, objects=OBJS,
+                                         predicates=PREDS)
+    assert len(rels) == 1
+    r = rels[0]
+    assert r["triplet"] == ["person", "ride", "dog"]
+    assert r["duration"] == [0, 12]
+    assert len(r["sub_traj"]) == 12
+
+
+def test_greedy_association_min_length():
+    frames = make_frames(9)  # < 10 frames -> dropped
+    assert greedy_relational_association(frames, objects=OBJS,
+                                         predicates=PREDS) == []
+
+
+def test_greedy_association_breaks_on_motion_jump():
+    frames = make_frames(6) + [
+        [6 + i, [[0.9, [1, 0, 2], [box(500), box(502)], 0]]]
+        for i in range(6)]
+    rels = greedy_relational_association(frames, min_length=5,
+                                         objects=OBJS, predicates=PREDS)
+    assert len(rels) == 2  # track broken by the jump
+
+
+def test_association_gap_fill():
+    frames = make_frames(12)
+    frames[5][1] = []  # one empty frame, neighbors within 4 -> filled
+    out = association({"v1": frames}, objects=OBJS, predicates=PREDS)
+    assert len(out["v1"]) == 1
+    assert out["v1"][0]["duration"] == [0, 12]
+
+
+def test_association_invalidates_isolated():
+    # 12 empty frames around a lone detection far from others
+    frames = [[f, []] for f in range(20)]
+    frames[10] = [10, [[0.9, [1, 0, 2], [box(), box(2)], 0]]]
+    out = association({"v1": frames}, objects=OBJS, predicates=PREDS)
+    # the lone frame spreads only to +-4 neighbors -> 9 frames < 10 dropped
+    assert out.get("v1", []) == []
+
+
+def test_evaluate_perfect_prediction():
+    frames = make_frames(15)
+    pred = association({"v1": frames}, objects=OBJS, predicates=PREDS)
+    gt = {"v1": [{
+        "triplet": ["person", "ride", "dog"],
+        "duration": [0, 15],
+        "sub_traj": [box()] * 15,
+        "obj_traj": [box(2)] * 15,
+    }]}
+    mean_ap, rec_at_n, mprec_at_n = evaluate(pred, gt, verbose=False)
+    assert mean_ap == 1.0
+    assert rec_at_n[50] == 1.0
+    assert mprec_at_n[1] == 1.0
+
+
+def test_evaluate_wrong_triplet_scores_zero():
+    frames = make_frames(15)
+    pred = association({"v1": frames}, objects=OBJS, predicates=PREDS)
+    gt = {"v1": [{
+        "triplet": ["dog", "ride", "person"],   # swapped
+        "duration": [0, 15],
+        "sub_traj": [box()] * 15,
+        "obj_traj": [box(2)] * 15,
+    }]}
+    mean_ap, rec_at_n, _ = evaluate(pred, gt, verbose=False)
+    assert mean_ap == 0.0
+    assert rec_at_n[100] == 0.0
+
+
+def test_eval_detection_greedy_matching():
+    gt = [{"triplet": ["a", "r", "b"], "duration": [0, 10],
+           "sub_traj": [box()] * 10, "obj_traj": [box(2)] * 10}]
+    good = {"triplet": ["a", "r", "b"], "duration": [0, 10], "score": 0.9,
+            "sub_traj": [box()] * 10, "obj_traj": [box(2)] * 10}
+    dup = dict(good, score=0.8)
+    prec, rec, hits = eval_detection_scores(gt, [good, dup], 0.5)
+    assert np.isfinite(hits[0]) and not np.isfinite(hits[1])  # greedy: 1 TP
+    assert rec[-1] == 1.0
+
+
+def test_eval_tagging_dedup():
+    gt = [{"triplet": ["a", "r", "b"], "duration": [0, 10],
+           "sub_traj": [box()] * 10, "obj_traj": [box(2)] * 10}]
+    p1 = {"triplet": ["a", "r", "b"], "score": 0.9}
+    p2 = {"triplet": ["a", "r", "b"], "score": 0.8}  # duplicate triplet
+    p3 = {"triplet": ["x", "r", "b"], "score": 0.7}
+    prec, rec, _ = eval_tagging_scores(gt, [p1, p2, p3])
+    np.testing.assert_allclose(prec, [1.0, 0.5])  # dedup to 2 triplets
+    assert rec[-1] == 1.0
+
+
+def test_detection_output_top_k(rng):
+    m, p, n_rel = 4, 12, 5
+    boxes = rng.rand(m, 4) * 100
+    classes = rng.randint(1, 3, m)
+    confs = rng.rand(m)
+    ixs = rng.randint(0, m, p)
+    ixo = rng.randint(0, m, p)
+    rel_prob = rng.rand(p, n_rel)
+    out = detection_output(rel_prob, boxes, classes, confs, ixs, ixo, top_k=7)
+    rlp, tconfs, sb, ob, pair_idx = out
+    assert tconfs.shape == (7,)
+    # descending fused confidence
+    assert np.all(np.diff(tconfs) <= 1e-12)
+    fused = rel_prob * confs[ixs][:, None] * confs[ixo][:, None]
+    np.testing.assert_allclose(tconfs[0], fused.max())
+
+
+def test_detection_output_single_box_returns_none(rng):
+    out = detection_output(np.zeros((0, 5)), np.zeros((1, 4)),
+                           np.zeros(1), np.ones(1), np.zeros(0, int),
+                           np.zeros(0, int))
+    assert out is None

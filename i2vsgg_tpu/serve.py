@@ -1,0 +1,145 @@
+"""Fused serving pipeline: detection post-processing + det->SGG inference.
+
+The reference's eval path (``test_net_instance_styleD_bilinear.py:133-228``)
+decodes boxes, runs per-class NMS on the CPU in a Python loop, and caps at
+100 detections per image; the SGG eval (``test_net_SGG_emb.py:158-289``)
+then crosses detections into pairs and scores predicates frame by frame.
+
+Here the entire per-frame pipeline — backbone, proposals, heads, per-class
+NMS, top-K cap, pair enumeration, union/dual-mask features, and predicate
+scoring — is ONE jitted XLA program per frame batch. Only the final packed
+detections/relation tuples land on host. Everything is static-shaped:
+
+* detections padded to ``max_det`` per image with validity masks,
+* pairs padded to ``max_det * (max_det - 1)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from i2vsgg_tpu.config import Config
+from i2vsgg_tpu.ops.boxes import decode_boxes, clip_boxes
+from i2vsgg_tpu.ops.nms import nms_indices
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray    # (B, K, 4) in ORIGINAL image coords
+    scores: jnp.ndarray   # (B, K)
+    classes: jnp.ndarray  # (B, K) int32
+    valid: jnp.ndarray    # (B, K) bool
+
+
+def decode_detections(rois, roi_valid, cls_prob, bbox_pred, im_info, cfg:
+                      Config, *, class_agnostic: bool = False,
+                      max_det: int = 100, max_per_class: int = 50,
+                      score_thresh: float = 0.0) -> Detections:
+    """On-device bbox decode + per-class NMS + per-image top-K.
+    [test_net_instance_styleD_bilinear.py:143-221]
+
+    Args:
+      rois: (B, N, 5); roi_valid: (B, N).
+      cls_prob: (B, N, C); bbox_pred: (B, N, 4C) or (B, N, 4).
+      im_info: (B, 3) [h, w, scale] — boxes are rescaled back by 1/scale.
+    """
+    b, n, c = cls_prob.shape
+    stds = jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_STDS)
+    means = jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_MEANS)
+
+    def one_image(rois_i, valid_i, prob_i, deltas_i, info_i):
+        boxes = rois_i[:, 1:5]
+        if cfg.TEST.BBOX_REG:
+            k = deltas_i.shape[-1] // 4
+            d = deltas_i.reshape(n, k, 4) * stds + means
+            pred = decode_boxes(boxes[:, None, :].repeat(k, 1),
+                                d.reshape(n * k, 4).reshape(n, k, 4))
+            pred = clip_boxes(pred.reshape(n, k * 4), info_i[:2]).reshape(n, k, 4)
+        else:
+            pred = boxes[:, None, :].repeat(
+                1 if class_agnostic else c, 1)
+        pred = pred / info_i[2]                       # back to original scale
+
+        def per_class(j):
+            scores_j = prob_i[:, j]
+            boxes_j = pred[:, 0] if class_agnostic else pred[:, j]
+            ok = valid_i & (scores_j > score_thresh)
+            keep, kv = nms_indices(boxes_j, scores_j, cfg.TEST.NMS,
+                                   max_out=max_per_class, valid=ok)
+            safe = jnp.maximum(keep, 0)
+            return boxes_j[safe], scores_j[safe] * kv, kv
+
+        cls_ids = jnp.arange(1, c)                    # skip background
+        boxes_c, scores_c, valid_c = jax.vmap(
+            per_class)(cls_ids)                       # (C-1, K, ...)
+        flat_boxes = boxes_c.reshape(-1, 4)
+        flat_scores = jnp.where(valid_c, scores_c, -1.0).reshape(-1)
+        flat_cls = jnp.repeat(cls_ids, max_per_class)
+        flat_valid = valid_c.reshape(-1)
+        top_scores, top_idx = jax.lax.top_k(flat_scores, max_det)
+        return (flat_boxes[top_idx], top_scores, flat_cls[top_idx],
+                flat_valid[top_idx] & (top_scores > 0))
+
+    out = jax.vmap(one_image)(rois, roi_valid, cls_prob, bbox_pred, im_info)
+    return Detections(*out)
+
+
+def make_pair_indices(max_det: int) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered pairs (i != j) of detection slots.
+    [faster_rcnn_SGG_emb.py:597-606]"""
+    ix1, ix2 = [], []
+    for i in range(max_det):
+        for j in range(max_det):
+            if i != j:
+                ix1.append(i)
+                ix2.append(j)
+    return np.asarray(ix1, np.int32), np.asarray(ix2, np.int32)
+
+
+def make_frame_program(det_model, det_params, sgg_model, sgg_params,
+                       prd_vecs, cfg: Config, *, max_det: int = 16,
+                       max_per_class: int = 8):
+    """Build the fused det+SGG per-frame program.
+
+    Returns a jitted fn: (images (B,H,W,3), im_info (B,3)) -> dict of
+    detections + per-pair predicate probabilities, all padded/masked.
+    """
+    ix1_np, ix2_np = make_pair_indices(max_det)
+    prd = jnp.asarray(prd_vecs)
+
+    @jax.jit
+    def frame_program(images, im_info):
+        out = det_model.apply({"params": det_params}, images, im_info,
+                              mode="inference")
+        dets = decode_detections(out["rois"], out["roi_valid"],
+                                 out["cls_prob"], out["bbox_pred"], im_info,
+                                 cfg, max_det=max_det,
+                                 max_per_class=max_per_class)
+        ix1 = jnp.asarray(ix1_np)
+        ix2 = jnp.asarray(ix2_np)
+
+        def one_frame(image, info, boxes, valid):
+            # SGG operates at input scale; detections are original-scale
+            boxes_in = boxes * info[2]
+            pair_valid = valid[ix1] & valid[ix2]
+            res = sgg_model.apply(
+                {"params": sgg_params}, image[None], info, boxes_in,
+                jnp.zeros((max_det,), jnp.int32), ix1, ix2, pair_valid, prd,
+                deterministic=True)
+            rel_prob = jax.nn.softmax(res["scores"], axis=-1)
+            return rel_prob, pair_valid
+
+        rel_prob, pair_valid = jax.vmap(one_frame)(
+            images, im_info, dets.boxes, dets.valid)
+        return {
+            "boxes": dets.boxes, "scores": dets.scores,
+            "classes": dets.classes, "det_valid": dets.valid,
+            "rel_prob": rel_prob, "pair_valid": pair_valid,
+            "ix1": ix1, "ix2": ix2,
+        }
+
+    return frame_program

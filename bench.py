@@ -1,0 +1,135 @@
+"""Headline benchmark: fused detection+SGG inference throughput per chip.
+
+Runs the flagship serving program — ResNet-101 domain-adaptive Faster R-CNN
+detection + per-pair predicate scoring fused into ONE jitted XLA program per
+frame batch (``i2vsgg_tpu/serve.py``) — on real frames-shaped input at the
+reference's 600-short-side test scale, and reports frames/sec/chip.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/500}
+(north star: >= 500 frames/sec/chip on TPU v5e, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8, help="frames per step")
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--max-det", type=int, default=16)
+    ap.add_argument("--num-classes", type=int, default=16)
+    ap.add_argument("--num-relations", type=int, default=26)
+    args = ap.parse_args()
+
+    import jax
+
+    # Param init is pure setup — run it on the host CPU backend (shapes are
+    # image-size independent) so only the fused serving program compiles for
+    # the TPU. Under the axon tunnel every TPU compile is remote; skipping
+    # the init compile cuts bench startup by minutes.
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    from i2vsgg_tpu.config import Config
+    from i2vsgg_tpu.models.backbones import ResNetTrunk
+    from i2vsgg_tpu.models.faster_rcnn import FasterRCNN_DA
+    from i2vsgg_tpu.models.sgg import SGGModel, VRDHead
+    from i2vsgg_tpu.serve import make_frame_program
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    cfg = Config()
+    b, h, w = args.batch, args.height, args.width
+    images = jnp.asarray(
+        np.random.RandomState(0).randn(b, h, w, 3).astype(np.float32) * 20)
+    im_info = jnp.tile(jnp.asarray([[h, w, 1.0]], jnp.float32), (b, 1))
+
+    det = FasterRCNN_DA(num_classes=args.num_classes, cfg=cfg,
+                        backbone="res101", ic=True, gc=True)
+    dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
+    sgg = SGGModel(trunk=ResNetTrunk(depth=101, dtype=dtype),
+                   vrd=VRDHead(), n_rel=args.num_relations)
+    md = args.max_det
+    prd_vecs = np.random.RandomState(1).randn(
+        args.num_relations, 300).astype(np.float32)
+
+    log("init params on host CPU ...")
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    # param shapes don't depend on image size or proposal counts — init a
+    # tiny-config twin of the model to keep the init trace cheap
+    tiny = cfg.replace(
+        TRAIN=cfg.TRAIN.__class__(RPN_PRE_NMS_TOP_N=64, RPN_POST_NMS_TOP_N=16,
+                                  RPN_POST_NMS_TOP_N_TARGET=8,
+                                  RPN_BATCHSIZE=16, BATCH_SIZE=8,
+                                  MAX_NUM_GT_BOXES=4),
+        TEST=cfg.TEST.__class__(RPN_PRE_NMS_TOP_N=64, RPN_POST_NMS_TOP_N=16))
+    det_init_twin = FasterRCNN_DA(num_classes=args.num_classes, cfg=tiny,
+                                  backbone="res101", ic=True, gc=True)
+    with jax.default_device(cpu):
+        hi, wi = 128, 160
+        im_info_i = jnp.asarray([[hi, wi, 1.0]], jnp.float32)
+        det_params = det_init_twin.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, hi, wi, 3), jnp.float32), im_info_i,
+            mode="inference")["params"]
+        ix = jnp.zeros((md * (md - 1),), jnp.int32)
+        base_feat = jnp.zeros((1, hi // 16, wi // 16, 1024), dtype)
+        sgg_params = sgg.init(
+            {"params": jax.random.PRNGKey(1)},
+            base_feat, im_info_i[0], jnp.zeros((md, 4), jnp.float32),
+            ix, ix, jnp.zeros(ix.shape, bool), jnp.asarray(prd_vecs),
+            method=SGGModel.head_on_features)["params"]
+    det_params = jax.device_put(det_params, dev)
+    sgg_params = jax.device_put(sgg_params, dev)
+    log(f"init: {time.time() - t0:.1f}s")
+
+    program = make_frame_program(det, det_params, sgg, sgg_params, prd_vecs,
+                                 cfg, max_det=md, max_per_class=8)
+
+    log("compiling fused frame program ...")
+    t0 = time.time()
+    out = program(images, im_info)
+    jax.block_until_ready(out)
+    log(f"compile+first-run: {time.time() - t0:.1f}s")
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(program(images, im_info))
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        out = program(images, im_info)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    fps = args.steps * b / dt
+    log(f"{args.steps} steps x {b} frames in {dt:.3f}s -> {fps:.1f} frames/s")
+    print(json.dumps({
+        "metric": "det_sgg_inference_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

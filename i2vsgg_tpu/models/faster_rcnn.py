@@ -276,4 +276,7 @@ class FasterRCNN_DA(nn.Module):
             "roi_valid": props.valid,
             "cls_prob": cls_prob.reshape(b, n, -1),
             "bbox_pred": bbox_pred.reshape(b, n, -1),
+            # exposed so the fused serving pipeline can share one trunk pass
+            # with the SGG head (serve.py) instead of recomputing it
+            "base_feat": base_feat,
         }

@@ -163,6 +163,19 @@ class SGGModel(nn.Module):
         Returns dict with 'scores' (P, n_rel) and spatial features.
         """
         base_feat, _ = self.trunk(images)
+        return self.head_on_features(base_feat, im_info, obj_boxes, ix1, ix2,
+                                     pair_valid, prd_vecs,
+                                     deterministic=deterministic)
+
+    def head_on_features(self, base_feat, im_info, obj_boxes, ix1, ix2,
+                         pair_valid, prd_vecs, *, deterministic: bool = True):
+        """Relation head on a precomputed backbone feature map.
+
+        Used by the fused serving pipeline (``serve.py``) to share ONE trunk
+        pass between detection and relation scoring — the reference runs the
+        (identical, frozen) backbone twice per frame
+        (faster_rcnn_SGG_emb.py:60 after the detector already ran).
+        """
         base_feat = jax.lax.stop_gradient(base_feat).astype(jnp.float32)
 
         m = obj_boxes.shape[0]

@@ -110,9 +110,13 @@ def make_frame_program(det_model, det_params, sgg_model, sgg_params,
     """
     ix1_np, ix2_np = make_pair_indices(max_det)
     prd = jnp.asarray(prd_vecs)
+    from i2vsgg_tpu.models.sgg import SGGModel
 
+    # Params enter as traced jit arguments — closing over them would bake
+    # every weight in as an XLA constant and send compile time through the
+    # roof (constant folding over ResNet-101's tensors).
     @jax.jit
-    def frame_program(images, im_info):
+    def _program(det_params, sgg_params, images, im_info):
         out = det_model.apply({"params": det_params}, images, im_info,
                               mode="inference")
         dets = decode_detections(out["rois"], out["roi_valid"],
@@ -122,24 +126,30 @@ def make_frame_program(det_model, det_params, sgg_model, sgg_params,
         ix1 = jnp.asarray(ix1_np)
         ix2 = jnp.asarray(ix2_np)
 
-        def one_frame(image, info, boxes, valid):
-            # SGG operates at input scale; detections are original-scale
+        def one_frame(base_feat, info, boxes, valid):
+            # SGG operates at input scale; detections are original-scale.
+            # The trunk ran ONCE in the detector pass; the relation head
+            # reuses its feature map (the reference recomputes the same
+            # frozen backbone per stage, faster_rcnn_SGG_emb.py:60).
             boxes_in = boxes * info[2]
             pair_valid = valid[ix1] & valid[ix2]
             res = sgg_model.apply(
-                {"params": sgg_params}, image[None], info, boxes_in,
-                jnp.zeros((max_det,), jnp.int32), ix1, ix2, pair_valid, prd,
-                deterministic=True)
+                {"params": sgg_params}, base_feat[None], info, boxes_in,
+                ix1, ix2, pair_valid, prd, deterministic=True,
+                method=SGGModel.head_on_features)
             rel_prob = jax.nn.softmax(res["scores"], axis=-1)
             return rel_prob, pair_valid
 
         rel_prob, pair_valid = jax.vmap(one_frame)(
-            images, im_info, dets.boxes, dets.valid)
+            out["base_feat"], im_info, dets.boxes, dets.valid)
         return {
             "boxes": dets.boxes, "scores": dets.scores,
             "classes": dets.classes, "det_valid": dets.valid,
             "rel_prob": rel_prob, "pair_valid": pair_valid,
             "ix1": ix1, "ix2": ix2,
         }
+
+    def frame_program(images, im_info):
+        return _program(det_params, sgg_params, images, im_info)
 
     return frame_program

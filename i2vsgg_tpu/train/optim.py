@@ -34,7 +34,15 @@ def make_label_fn(frozen_prefixes: Sequence[str]):
             for p in frozen_prefixes:
                 if s.startswith(p):
                     return "frozen"
-            leaf = s.rsplit("/", 1)[-1]
+            # All FrozenBatchNorm affines/statistics are frozen (reference
+            # set_bn_fix, resnet_instance_styleD_bilinear.py:392-411).
+            # Gradients are already stop_gradient'ed in the module, but
+            # weight decay would still mutate them unless masked here.
+            segs = s.split("/")
+            if any(seg.startswith("bn") or seg.endswith("_bn")
+                   for seg in segs[:-1]):
+                return "frozen"
+            leaf = segs[-1]
             return "bias" if leaf == "bias" else "weight"
         return jax.tree_util.tree_map_with_path(one, params)
     return label

@@ -9,7 +9,10 @@ by bench.py / the driver.
 import os
 
 # Force-set (the driver env carries JAX_PLATFORMS=axon for the TPU tunnel;
-# tests must run on simulated CPU devices).
+# tests must run on simulated CPU devices). NOTE: sitecustomize pre-imports
+# jax and registers the axon PJRT plugin before conftest runs, so mutating
+# os.environ["JAX_PLATFORMS"] here is too late — but the backend itself is
+# initialized lazily, so jax.config.update("jax_platforms") still works.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,6 +20,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

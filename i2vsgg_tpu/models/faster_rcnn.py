@@ -106,6 +106,11 @@ class FasterRCNN_DA(nn.Module):
             nms_thresh=c.RPN_NMS_THRESH)
 
     def _pool(self, base_feat, rois_flat):
+        # ROI coordinates are NOT differentiated through (reference parity:
+        # torch RoIAlign takes rois as constants; letting grads flow through
+        # the bilinear sample positions also produces NaNs on degenerate
+        # padded rois in the target pass)
+        rois_flat = jax.lax.stop_gradient(rois_flat)
         p = self.cfg.POOLING_SIZE
         scale = 1.0 / self.cfg.FEAT_STRIDE[0]
         if self.cfg.POOLING_MODE == "align":

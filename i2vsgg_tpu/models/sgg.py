@@ -57,6 +57,7 @@ class VRDHead(nn.Module):
     use_obj_visual: bool = True
     pooling_size: int = 7
     dropout_rate: float = 0.5
+    fc_dim: int = 4096          # fc6/fc7 width [resnet_SGG_emb.py:98-101]
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -81,9 +82,9 @@ class VRDHead(nn.Module):
         all_rois = jnp.concatenate([obj_boxes, union_boxes_], axis=0)
         pooled = roi_pool(fmap, all_rois, p, p, 1.0 / 16.0)
         x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
-        x = nn.relu(nn.Dense(4096, name="fc6")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="fc6")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        x = nn.relu(nn.Dense(4096, name="fc7")(x))
+        x = nn.relu(nn.Dense(self.fc_dim, name="fc7")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 
         obj_feat = nn.Dense(self.emb_dim, name="so_vis_embeddings")(x[:m])

@@ -7,13 +7,25 @@ the highest-scored box and suppress boxes with IoU > thresh (keep while
 
 TPU-native formulation: everything is static-shaped. Instead of a
 data-dependent keep list we return a padded index vector + validity mask so
-the op stays inside ``jit``. ``nms_indices`` runs ``max_out`` sequential pivot
-steps, each a fully vectorized one-vs-all IoU sweep on the VPU — O(max_out)
-sequential depth, O(max_out * N) work, zero host round-trips (the reference
+the op stays inside ``jit``, with zero host round-trips (the reference
 bounced every NMS call to CPU numpy, ``nms_wrapper.py:20``).
 
-A tiled Pallas variant for very large N lives in
-``i2vsgg_tpu/ops/pallas/nms_kernel.py`` (used when profitable).
+Two implementations with identical keep sets:
+
+* ``nms_indices`` (default) — **chunked suppression-matrix fixpoint**.
+  Greedy NMS is the unique fixpoint of
+  ``keep[i] = valid[i] & !any_{j<i}(keep[j] & iou[j,i] > t)`` over
+  score-sorted boxes. Boxes are processed in score-order chunks: each chunk
+  is first suppressed by the already-kept set (one (C, K) IoU sweep), then
+  resolved internally by iterating the (C, C) fixpoint to convergence — a
+  handful of vector×matrix passes on the VPU/MXU instead of one pivot scan
+  per output. Sequential depth drops from O(max_out) to
+  O(N/C * fixpoint_iters); exact because greedy's kept set is built in
+  score order, so the first ``max_out`` kept boxes never depend on later
+  ones (analogous chunking to the reference's 64-box-tile CUDA bitmask
+  kernel, ``nms_kernel.cu:24-144``).
+* ``nms_indices_sequential`` — the direct O(max_out)-pivot scan, kept as
+  the semantics oracle for parity tests.
 """
 
 from __future__ import annotations
@@ -40,10 +52,48 @@ def _iou_one_vs_many(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / (area1 + areas - inter)
 
 
-@functools.partial(jax.jit, static_argnames=("max_out",))
+def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) x (M, 4) -> (N, M) IoU, +1 convention."""
+    area_a = box_area(a)[:, None]
+    area_b = box_area(b)[None, :]
+    iw = jnp.maximum(0.0, jnp.minimum(a[:, None, 2], b[None, :, 2])
+                     - jnp.maximum(a[:, None, 0], b[None, :, 0]) + 1.0)
+    ih = jnp.maximum(0.0, jnp.minimum(a[:, None, 3], b[None, :, 3])
+                     - jnp.maximum(a[:, None, 1], b[None, :, 1]) + 1.0)
+    inter = iw * ih
+    return inter / (area_a + area_b - inter)
+
+
+def _chunk_fixpoint_keep(cboxes, calive, thresh):
+    """Exact greedy keep mask WITHIN one score-sorted chunk, by iterating
+    keep[i] = alive[i] & !any_{j<i}(keep[j] & supp[j,i]) to its (unique)
+    fixpoint."""
+    c = cboxes.shape[0]
+    iou = _pairwise_iou(cboxes, cboxes)
+    lower = (jnp.arange(c)[:, None] < jnp.arange(c)[None, :])   # j < i
+    supp = ((iou > thresh) & lower).astype(jnp.float32)         # (C, C)
+
+    def cond(state):
+        k, prev, it = state
+        return jnp.any(k != prev) & (it < c)
+
+    def body(state):
+        k, _, it = state
+        suppressed = (k.astype(jnp.float32) @ supp) > 0.5
+        return calive & ~suppressed, k, it + 1
+
+    k0 = calive
+    k, _, _ = jax.lax.while_loop(
+        cond, body, (calive & ~((k0.astype(jnp.float32) @ supp) > 0.5),
+                     k0, jnp.asarray(0)))
+    return k
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "chunk"))
 def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, thresh,
-                max_out: int, valid: jnp.ndarray | None = None):
-    """Greedy NMS with fixed output size.
+                max_out: int, valid: jnp.ndarray | None = None,
+                chunk: int | None = None):
+    """Greedy NMS with fixed output size (chunked fixpoint formulation).
 
     Args:
       boxes: (N, 4) float boxes.
@@ -51,10 +101,64 @@ def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, thresh,
       thresh: IoU suppression threshold (suppress when IoU > thresh).
       max_out: static number of outputs (pad with -1 / False).
       valid: optional (N,) bool mask; invalid boxes are never selected.
+      chunk: chunk size (defaults to a bandwidth-friendly choice).
 
     Returns:
       keep: (max_out,) int32 indices into the input, -1 padded.
       keep_valid: (max_out,) bool.
+    """
+    n = boxes.shape[0]
+    scores = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order]
+    alive = scores[order] > NEG_INF / 2
+
+    c = chunk or max(128, min(1024, max_out))
+    c = min(c, n)
+    nchunks = -(-n // c)
+    pad = nchunks * c - n
+    if pad:
+        sboxes = jnp.concatenate(
+            [sboxes, jnp.zeros((pad, 4), sboxes.dtype)], axis=0)
+        alive = jnp.concatenate([alive, jnp.zeros((pad,), bool)], axis=0)
+
+    kept_boxes0 = jnp.zeros((max_out, 4), sboxes.dtype)
+    kept_pos0 = jnp.full((max_out,), -1, jnp.int32)   # position in sorted list
+    kept_mask0 = jnp.zeros((max_out,), bool)
+
+    def chunk_body(ci, state):
+        kept_boxes, kept_pos, kept_mask, kept_count = state
+        start = ci * c
+        cb = jax.lax.dynamic_slice_in_dim(sboxes, start, c, axis=0)
+        ca = jax.lax.dynamic_slice_in_dim(alive, start, c, axis=0)
+        # suppression by the already-kept (earlier, higher-scored) boxes
+        iou_k = _pairwise_iou(cb, kept_boxes)                   # (C, max_out)
+        ca = ca & ~jnp.any((iou_k > thresh) & kept_mask[None, :], axis=1)
+        # resolve within-chunk ordering exactly
+        k = _chunk_fixpoint_keep(cb, ca, thresh)
+        # append kept boxes (in order) to the output buffers
+        dest = kept_count + jnp.cumsum(k.astype(jnp.int32)) - 1
+        dest = jnp.where(k & (dest < max_out), dest, max_out)   # drop overflow
+        kept_boxes = kept_boxes.at[dest].set(cb, mode="drop")
+        kept_pos = kept_pos.at[dest].set(
+            (start + jnp.arange(c)).astype(jnp.int32), mode="drop")
+        kept_mask = kept_mask.at[dest].set(True, mode="drop")
+        return kept_boxes, kept_pos, kept_mask, kept_count + jnp.sum(k)
+
+    _, kept_pos, kept_mask, _ = jax.lax.fori_loop(
+        0, nchunks, chunk_body,
+        (kept_boxes0, kept_pos0, kept_mask0, jnp.asarray(0, jnp.int32)))
+    keep = jnp.where(kept_mask, order[jnp.maximum(kept_pos, 0)].astype(
+        jnp.int32), -1)
+    return keep, kept_mask
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def nms_indices_sequential(boxes: jnp.ndarray, scores: jnp.ndarray, thresh,
+                           max_out: int, valid: jnp.ndarray | None = None):
+    """Reference-style sequential pivot scan (semantics oracle).
+
+    Same contract as ``nms_indices``.
     """
     scores = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
     order = jnp.argsort(-scores)                       # score-descending

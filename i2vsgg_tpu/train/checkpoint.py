@@ -1,0 +1,144 @@
+"""Checkpoint save/restore with the reference's three restoration filters.
+
+The reference saves ``{session, epoch, model, optimizer, pooling_mode,
+class_agnostic}`` per epoch (``trainval_net_instance_styleD_bilinear.py:421-434``)
+and restores in three modes (SURVEY.md §5):
+
+1. **detector init** — load a pretrained detector but skip the
+   discriminator + classification/regression heads so they re-init for the
+   new class set / DA run (exclusion list ``trainval_…:153-183``).
+2. **full resume** — params + optimizer state + step.
+3. **SGG init** — copy only non-``vrd`` (trunk) params from a Stage-A
+   detector checkpoint into the Stage-B model (``trainval_net_SGG_emb.py:155-173``).
+
+Storage is orbax (async-capable, sharding-aware); config metadata travels in
+a sidecar JSON exactly like ``pooling_mode`` travels inside reference
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:                                    # pragma: no cover
+    _HAVE_ORBAX = False
+
+from i2vsgg_tpu.train.det_da import TrainState
+
+# Parameter subtrees excluded in detector-init mode — the flax equivalents of
+# the reference's name list (trainval_net_instance_styleD_bilinear.py:154):
+# netD_pixel.*, RPN_cls_score, RPN_bbox_pred, RCNN_cls_score, RCNN_bbox_pred.
+DETECTOR_INIT_EXCLUDE = (
+    "netD_pixel", "netD_style", "rpn", "cls_score", "bbox_pred",
+)
+
+
+def _ckpt_path(ckpt_dir: str, step: int) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    metadata: Optional[Dict[str, Any]] = None) -> str:
+    """Save params + optimizer + step, with JSON metadata sidecar."""
+    path = _ckpt_path(ckpt_dir, step)
+    os.makedirs(path, exist_ok=True)
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    if _HAVE_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.join(path, "tree"), tree, force=True)
+    else:                                            # pragma: no cover
+        import pickle
+        with open(os.path.join(path, "tree.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(tree), f)
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(metadata or {}, f)
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+             if d.startswith("step_")]
+    return max(steps) if steps else None
+
+
+def _load_tree(path: str):
+    if _HAVE_ORBAX and os.path.isdir(os.path.join(path, "tree")):
+        return ocp.PyTreeCheckpointer().restore(os.path.join(path, "tree"))
+    import pickle                                    # pragma: no cover
+    with open(os.path.join(path, "tree.pkl"), "rb") as f:
+        return pickle.load(f)
+
+
+def load_metadata(ckpt_dir: str, step: int) -> Dict[str, Any]:
+    with open(os.path.join(_ckpt_path(ckpt_dir, step), "metadata.json")) as f:
+        return json.load(f)
+
+
+def restore_full(ckpt_dir: str, step: int, state: TrainState) -> TrainState:
+    """Mode 2: full resume (params + optimizer + step).
+    [trainval_…:186-196]"""
+    tree = _load_tree(_ckpt_path(ckpt_dir, step))
+    # orbax returns plain dicts/lists — rebuild the optax NamedTuple
+    # structure by unflattening into the reference state's treedef
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "step": state.step}
+    restored = jax.tree.unflatten(jax.tree.structure(target),
+                                  jax.tree.leaves(tree))
+    return TrainState(restored["params"], restored["opt_state"],
+                      restored["step"])
+
+
+def _merge_filtered(init_params, ckpt_params, skip_roots: Sequence[str],
+                    keep_only_roots: Optional[Sequence[str]] = None):
+    """Copy ckpt values over init values, subtree-filtered at the root level,
+    with shape-intersection at the leaf level (the reference's test-time
+    intersection load, test_net_instance_styleD_bilinear.py:76-79)."""
+    out = dict(init_params)
+    for root, sub in init_params.items():
+        if root in skip_roots:
+            continue
+        if keep_only_roots is not None and root not in keep_only_roots:
+            continue
+        if root not in ckpt_params:
+            continue
+
+        def pick(ref, new):
+            ref_a, new_a = np.asarray(ref), np.asarray(new)
+            return new_a if ref_a.shape == new_a.shape else ref_a
+
+        out[root] = jax.tree.map(pick, sub, ckpt_params[root])
+    return out
+
+
+def restore_detector_init(ckpt_dir: str, step: int, init_params):
+    """Mode 1: detector init — skip discriminators + RPN/RCNN heads.
+    [trainval_…:153-183]"""
+    tree = _load_tree(_ckpt_path(ckpt_dir, step))
+    return _merge_filtered(init_params, tree["params"],
+                           skip_roots=DETECTOR_INIT_EXCLUDE)
+
+
+def restore_sgg_init(det_ckpt_dir: str, step: int, sgg_init_params):
+    """Mode 3: Stage-B init — copy only the trunk from a Stage-A checkpoint
+    (everything that is not the vrd head). [trainval_net_SGG_emb.py:155-173]"""
+    tree = _load_tree(_ckpt_path(det_ckpt_dir, step))
+    return _merge_filtered(sgg_init_params, tree["params"],
+                           skip_roots=(), keep_only_roots=("trunk",))
+
+
+def restore_intersection(ckpt_dir: str, step: int, init_params):
+    """Test-time load: copy every param whose name+shape matches.
+    [test_net_instance_styleD_bilinear.py:76-79]"""
+    tree = _load_tree(_ckpt_path(ckpt_dir, step))
+    return _merge_filtered(init_params, tree["params"], skip_roots=())

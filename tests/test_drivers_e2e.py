@@ -1,0 +1,126 @@
+"""End-to-end workflow test: the four CLI drivers chained on a synthetic
+fixture dataset — Stage-A DA training -> detection eval -> Stage-B SGG
+training (trunk restored from the Stage-A checkpoint) -> SGG eval with
+video association + vIoU metrics. Mirrors the reference's script-driven
+train->test acceptance loop (SURVEY.md §4 "Evaluation-as-test")."""
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tests.fixtures import make_fixture_root
+
+TINY_CFG = ["--cfg",
+            "TRAIN.RPN_PRE_NMS_TOP_N", "300",
+            "TRAIN.RPN_POST_NMS_TOP_N", "32",
+            "TRAIN.RPN_POST_NMS_TOP_N_TARGET", "16",
+            "TRAIN.RPN_BATCHSIZE", "32",
+            "TRAIN.BATCH_SIZE", "16",
+            "TEST.RPN_PRE_NMS_TOP_N", "100",
+            "TEST.RPN_POST_NMS_TOP_N", "16",
+            "TEST.MAX_DETECTIONS_PER_IMAGE", "20",
+            "TRAIN.MAX_NUM_GT_BOXES", "6",
+            "TRAIN.SCALES", "[96]",
+            "TEST.SCALES", "[96]"]
+SGG_TINY = ["--vrd_fc_dim", "128"]
+
+
+@pytest.fixture(scope="module")
+def fixture_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    paths = make_fixture_root(str(root))
+    old = os.environ.get("I2VSGG_DATA_ROOT")
+    os.environ["I2VSGG_DATA_ROOT"] = str(root)
+    yield paths
+    if old is None:
+        os.environ.pop("I2VSGG_DATA_ROOT", None)
+    else:
+        os.environ["I2VSGG_DATA_ROOT"] = old
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("models"))
+
+
+def _latest_ckpt(save_dir, *parts):
+    d = os.path.join(save_dir, *parts)
+    steps = sorted(glob.glob(os.path.join(d, "step_*")))
+    assert steps, f"no checkpoints in {d}"
+    return os.path.join(d, os.path.basename(steps[-1]).replace("step_", ""))
+
+
+def _step_arg(path):
+    d, s = os.path.dirname(path), os.path.basename(path)
+    return os.path.join(d, str(int(s)))
+
+
+def test_stage_a_train(fixture_env, workdir):
+    from tools.trainval_det_da import main
+    state = main(["--dataset", "MVRD", "--dataset_t", "MVidVRD",
+                  "--net", "res10", "--bs", "2", "--epochs", "1",
+                  "--lr", "1e-3", "--max_steps", "2", "--ic", "--gc",
+                  "--style_lambda", "1",
+                  "--disp_interval", "1", "--compute_dtype", "float32",
+                  "--save_dir", workdir] + TINY_CFG)
+    assert int(state.step) == 2
+    ck = _latest_ckpt(workdir, "res10", "MVRD", "session_1")
+    assert os.path.isdir(os.path.dirname(ck) + f"/step_{int(os.path.basename(ck)):08d}")
+    # metrics JSONL written, every logged loss finite (regression guard for
+    # the NaN-through-roi-coords bug)
+    logs = os.path.join(workdir, "res10", "MVRD", "session_1", "logs",
+                        "metrics.jsonl")
+    rec = [json.loads(l) for l in open(logs)]
+    assert len(rec) == 2
+    for r in rec:
+        assert np.isfinite(r["loss"]), r
+
+
+def test_stage_a_eval(fixture_env, workdir):
+    from tools.test_det import main
+    ck = _latest_ckpt(workdir, "res10", "MVRD", "session_1")
+    aps = main(["--dataset", "MVidVRD", "--net", "res10", "--bs", "2",
+                "--ic", "--gc", "--compute_dtype", "float32",
+                "--save_dir", workdir, "--load_name", _step_arg(ck)]
+               + TINY_CFG)
+    assert aps is not None
+    out = os.path.join(workdir, "eval", "MVidVRD_test", "detections.pkl")
+    assert os.path.exists(out)
+
+
+def test_stage_b_train(fixture_env, workdir):
+    from tools.trainval_sgg import main
+    ck = _latest_ckpt(workdir, "res10", "MVRD", "session_1")
+    state = main(["--dataset", "MVRD", "--net", "res10", "--bs", "2",
+                  "--epochs", "1", "--max_steps", "2", "--vrd_lr", "1e-3",
+                  "--num_relations", str(fixture_env["n_rel"]),
+                  "--disp_interval", "1", "--compute_dtype", "float32",
+                  "--source_gt_rels_path", fixture_env["gt_rels"],
+                  "--save_dir", workdir, "--load_name", _step_arg(ck)]
+                 + TINY_CFG + SGG_TINY)
+    assert int(state.step) == 2
+
+
+def test_stage_b_eval_and_metrics(fixture_env, workdir):
+    from tools.test_sgg import main
+    ck = _latest_ckpt(workdir, "res10", "MVRD_SGG", "session_1")
+    out = main(["--dataset", "MVidVRD", "--net", "res10", "--bs", "2",
+                "--num_relations", str(fixture_env["n_rel"]),
+                "--compute_dtype", "float32",
+                "--video_ann", fixture_env["video_ann"],
+                "--save_dir", workdir, "--load_name", _step_arg(ck)]
+               + TINY_CFG + SGG_TINY)
+    mAP, rec_at_n, prec_at_n = out
+    assert 0.0 <= mAP <= 1.0
+    assert set(rec_at_n) == {50, 100}
+    fd = os.path.join(workdir, "eval", "MVidVRD_test_SGG",
+                      "frame_detections.json")
+    frame_dets = json.load(open(fd))
+    assert set(frame_dets) == {"vid00", "vid01"}
+    assert len(frame_dets["vid00"]) == 6

@@ -85,3 +85,50 @@ def test_batched_nms(rng):
         exp = np_greedy_nms(dets[b], 0.4)
         got = np.asarray(keep[b])[np.asarray(valid[b])]
         np.testing.assert_array_equal(got, exp)
+
+
+def test_chunked_fixpoint_matches_sequential(rng):
+    """The chunked suppression-matrix NMS must produce EXACTLY the greedy
+    keep set of the sequential pivot scan, across sizes and thresholds."""
+    import jax.numpy as jnp
+    from i2vsgg_tpu.ops.nms import nms_indices, nms_indices_sequential
+
+    for trial in range(8):
+        n = [17, 64, 150, 300, 700, 1000, 2000, 333][trial]
+        thresh = [0.3, 0.5, 0.7, 0.3, 0.7, 0.5, 0.7, 0.3][trial]
+        max_out = min(n, [5, 20, 50, 300, 100, 1000, 128, 64][trial])
+        boxes = np.zeros((n, 4), np.float32)
+        boxes[:, 0] = rng.uniform(0, 200, n)
+        boxes[:, 1] = rng.uniform(0, 200, n)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(5, 80, n)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(5, 80, n)
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+
+        k1, v1 = nms_indices(jnp.asarray(boxes), jnp.asarray(scores),
+                             thresh, max_out, jnp.asarray(valid))
+        k2, v2 = nms_indices_sequential(jnp.asarray(boxes),
+                                        jnp.asarray(scores), thresh,
+                                        max_out, jnp.asarray(valid))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2),
+                                      err_msg=f"trial {trial}")
+
+
+def test_chunked_fixpoint_chunk_size_invariance(rng):
+    import jax.numpy as jnp
+    from i2vsgg_tpu.ops.nms import nms_indices
+
+    n = 500
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, 100, n)
+    boxes[:, 1] = rng.uniform(0, 100, n)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(5, 60, n)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(5, 60, n)
+    scores = rng.rand(n).astype(np.float32)
+    outs = [nms_indices(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 64,
+                        chunk=c) for c in (32, 100, 500)]
+    for k, v in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(k))
+        np.testing.assert_array_equal(np.asarray(outs[0][1]), np.asarray(v))

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Detection evaluation driver.
+
+Rebuild of ``test_net_instance_styleD_bilinear.py:42-237``: per-image
+inference -> on-device bbox decode + per-class NMS + top-100 cap (all inside
+one jitted program, ``i2vsgg_tpu/serve.py:decode_detections`` — the
+reference did this on CPU in a Python loop) -> VOC mAP via
+``imdb.evaluate_detections``.
+
+Usage:
+  python tools/test_det.py --dataset MVidVRD --net res101 \
+      --load_name models/res101/MVRD/session_1/<step>
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def run_detection(model, params, loader, cfg, num_classes, max_det=100):
+    """Yield (indices, Detections) per batch, jitted once per bucket shape."""
+    import jax
+    import jax.numpy as jnp
+    from i2vsgg_tpu.serve import decode_detections
+
+    @jax.jit
+    def infer(params, image, im_info):
+        out = model.apply({"params": params}, image, im_info,
+                          mode="inference")
+        return decode_detections(
+            out["rois"], out["roi_valid"], out["cls_prob"], out["bbox_pred"],
+            im_info, cfg, max_det=max_det,
+            max_per_class=max_det, score_thresh=0.0)
+
+    for batch in loader:
+        dets = infer(params, jnp.asarray(batch["image"]),
+                     jnp.asarray(batch["im_info"]))
+        yield batch["indices"], jax.device_get(dets)
+
+
+def main(argv=None):
+    from i2vsgg_tpu.cli.args import parse_args, set_dataset_args
+    args = set_dataset_args(parse_args(argv), test=True)
+
+    import jax
+    import jax.numpy as jnp
+    from i2vsgg_tpu.config import Config, cfg_from_list
+    from i2vsgg_tpu.data.pipeline import DetectionLoader
+    from i2vsgg_tpu.data.roidb import combined_roidb
+    from i2vsgg_tpu.models.faster_rcnn import FasterRCNN_DA
+    from i2vsgg_tpu.train.checkpoint import (latest_step, load_metadata,
+                                             restore_intersection)
+
+    cfg = cfg_from_list(args.set_cfgs + args.extra_cfgs, Config()).replace(
+        COMPUTE_DTYPE=args.compute_dtype)
+
+    imdb, roidb, _, idx = combined_roidb(args.imdbval_name, training=False,
+                                         use_flipped=False)
+    print(f"{len(roidb)} eval images ({args.imdbval_name})")
+    loader = DetectionLoader(roidb, idx, cfg, args.batch_size, training=False)
+
+    model = FasterRCNN_DA(num_classes=len(imdb.classes), cfg=cfg,
+                          backbone=args.net,
+                          class_agnostic=args.class_agnostic,
+                          ic=args.ic, gc=args.gc)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 128, 160, 3), jnp.float32),
+                        jnp.asarray([[128, 160, 1.0]], jnp.float32),
+                        mode="inference")["params"]
+
+    if args.load_name not in ("", "models"):
+        ckpt_dir = os.path.dirname(args.load_name)
+        step = int(os.path.basename(args.load_name))
+        params = restore_intersection(ckpt_dir, step, params)
+        meta = load_metadata(ckpt_dir, step)
+        # pooling_mode travels in the checkpoint and overrides cfg
+        # [test_net_instance_styleD_bilinear.py:80-81]
+        if meta.get("pooling_mode"):
+            cfg = cfg.replace(POOLING_MODE=meta["pooling_mode"])
+        print(f"loaded {args.load_name}")
+
+    n = len(roidb)
+    all_boxes = [[np.empty((0, 5), np.float32) for _ in range(n)]
+                 for _ in range(len(imdb.classes))]
+    max_det = cfg.TEST.MAX_DETECTIONS_PER_IMAGE
+    t0 = time.time()
+    done = 0
+    for indices, dets in run_detection(model, params, loader, cfg,
+                                       len(imdb.classes), max_det):
+        for bi, img_i in enumerate(indices):
+            keep = dets.valid[bi]
+            for j in range(1, len(imdb.classes)):
+                sel = keep & (dets.classes[bi] == j)
+                all_boxes[j][img_i] = np.hstack(
+                    [dets.boxes[bi][sel],
+                     dets.scores[bi][sel][:, None]]).astype(np.float32)
+            done += 1
+        if done % 100 < args.batch_size:
+            print(f"  {done}/{n} images ({done / (time.time() - t0):.1f}/s)")
+
+    out_dir = os.path.join(args.save_dir, "eval", args.imdbval_name)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "detections.pkl"), "wb") as f:
+        pickle.dump(all_boxes, f)
+    aps = imdb.evaluate_detections(all_boxes, out_dir, setting="adapt")
+    print(f"total eval time {time.time() - t0:.1f}s")
+    return aps
+
+
+if __name__ == "__main__":
+    main()

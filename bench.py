@@ -38,6 +38,8 @@ def main():
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # Param init is pure setup — run it on the host CPU backend (shapes are
     # image-size independent) so only the fused serving program compiles for
     # the TPU. Under the axon tunnel every TPU compile is remote; skipping
@@ -67,7 +69,7 @@ def main():
                         backbone="res101", ic=True, gc=True)
     dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
     sgg = SGGModel(trunk=ResNetTrunk(depth=101, dtype=dtype),
-                   vrd=VRDHead(), n_rel=args.num_relations)
+                   vrd=VRDHead(dtype=dtype), n_rel=args.num_relations)
     md = args.max_det
     prd_vecs = np.random.RandomState(1).randn(
         args.num_relations, 300).astype(np.float32)

@@ -26,6 +26,7 @@ Rebuild of ``lib/roi_data_layer/{minibatch,roibatchLoader}.py`` +
 
 from __future__ import annotations
 
+import os
 import threading
 import queue as queue_mod
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -72,12 +73,18 @@ def bucket_hw(h: int, w: int, buckets: Sequence[int] = DEFAULT_BUCKETS,
 
 
 class DetectionLoader:
-    """Batched detection data iterator with aspect grouping + prefetch."""
+    """Batched detection data iterator with aspect grouping + prefetch.
+
+    Decode/preprocess runs in the native C++ runtime
+    (``i2vsgg_tpu/runtime``, threaded, GIL-free) when it builds on this
+    machine; the cv2 path is the fallback and the parity oracle
+    (``tests/test_native_io.py``). Opt out with ``I2VSGG_NATIVE_IO=0``.
+    """
 
     def __init__(self, roidb: List[Dict], ratio_index: np.ndarray,
                  cfg: Config, batch_size: int = 1, training: bool = True,
                  seed: int = 0, buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 prefetch: int = 2):
+                 prefetch: int = 2, native: Optional[bool] = None):
         self.cfg = cfg
         self.training = training
         self.batch_size = batch_size
@@ -89,6 +96,12 @@ class DetectionLoader:
         else:
             self.entries = list(roidb)
         self.prefetch = prefetch
+        if native is None:
+            native = os.environ.get("I2VSGG_NATIVE_IO", "1") != "0"
+        if native:
+            from i2vsgg_tpu import runtime
+            native = runtime.available()
+        self.native = bool(native)
 
     def __len__(self):
         return len(self.entries) // self.batch_size if self.training \
@@ -137,6 +150,48 @@ class DetectionLoader:
         return {"image": images, "im_info": im_info, "gt_boxes": gt,
                 "num_boxes": num_boxes}
 
+    def _pack_batch_native(self, group: List[int]) -> Dict:
+        """Whole-batch decode + preprocess in the C++ runtime."""
+        from i2vsgg_tpu import runtime
+        cfg = self.cfg
+        target = (cfg.TRAIN.SCALES if self.training else cfg.TEST.SCALES)[0]
+        entries = [self.entries[i] for i in group]
+        # static bucket from the roidb-recorded sizes (no decode needed)
+        hw_pred = []
+        for e in entries:
+            s = float(target) / min(e["height"], e["width"])
+            hw_pred.append(bucket_hw(int(round(e["height"] * s)),
+                                     int(round(e["width"] * s)),
+                                     self.buckets))
+        ph = max(h for h, w in hw_pred)
+        pw = max(w for h, w in hw_pred)
+        images, scales, hw = runtime.load_batch(
+            [e["image"] for e in entries],
+            [bool(e.get("flipped")) for e in entries],
+            cfg.PIXEL_MEANS, target, ph, pw)
+        b = len(entries)
+        g = cfg.TRAIN.MAX_NUM_GT_BOXES
+        im_info = np.zeros((b, 3), np.float32)
+        gt = np.zeros((b, g, 5), np.float32)
+        num_boxes = np.zeros((b,), np.int32)
+        for i, e in enumerate(entries):
+            h, w = int(hw[i, 0]), int(hw[i, 1])
+            im_info[i] = [h, w, scales[i]]
+            boxes = e["boxes"] * scales[i]
+            classes = e["gt_classes"]
+            n = len(boxes)
+            if n > g:
+                order = self.rng.permutation(n)[:g]
+                boxes, classes = boxes[order], classes[order]
+                n = g
+            if n:
+                gt[i, :n, :4] = np.clip(boxes[:, :4], 0,
+                                        [w - 1, h - 1, w - 1, h - 1])
+                gt[i, :n, 4] = classes
+            num_boxes[i] = n
+        return {"image": images, "im_info": im_info, "gt_boxes": gt,
+                "num_boxes": num_boxes}
+
     # ---------- iteration ----------------------------------------------
 
     def _index_order(self) -> List[List[int]]:
@@ -153,8 +208,11 @@ class DetectionLoader:
     def _produce(self, order, out_q):
         try:
             for group in order:
-                items = [self._load_one(self.entries[i]) for i in group]
-                batch = self._pack_batch(items)
+                if self.native:
+                    batch = self._pack_batch_native(group)
+                else:
+                    items = [self._load_one(self.entries[i]) for i in group]
+                    batch = self._pack_batch(items)
                 batch["indices"] = np.asarray(group, np.int64)
                 out_q.put(batch)
         finally:

@@ -1,0 +1,129 @@
+"""Native IO runtime: ctypes bindings + on-demand g++ build.
+
+``load_batch`` is the C++ threaded decode/preprocess pipeline
+(``io_runtime.cc``); the Python pipeline falls back to the cv2 path when the
+native library cannot be built (no compiler / headers). The library builds
+once per machine into ``<pkg>/runtime/libi2vsgg_io.so``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libi2vsgg_io.so")
+_SRC = os.path.join(_HERE, "io_runtime.cc")
+
+_lib = None
+_lock = threading.Lock()
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _SO, "-ljpeg", "-lpng", "-lpthread"]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except Exception as e:                             # pragma: no cover
+        return f"{type(e).__name__}: {e}"
+    if r.returncode != 0:                              # pragma: no cover
+        return r.stderr[-2000:]
+    return None
+
+
+def get_lib():
+    """Build (once) and load the native library, or None with a reason."""
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_error is not None:
+            return None
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            err = _build()
+            if err:
+                _build_error = err
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.i2v_load_batch.restype = ctypes.c_int
+        lib.i2v_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),            # paths
+            ctypes.POINTER(ctypes.c_uint8),             # flips
+            ctypes.c_int,                               # n
+            ctypes.POINTER(ctypes.c_float),             # pixel_means
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,   # target, pad_h, pad_w
+            ctypes.POINTER(ctypes.c_float),             # out_images
+            ctypes.POINTER(ctypes.c_float),             # out_scales
+            ctypes.POINTER(ctypes.c_int32),             # out_hw
+            ctypes.c_int,                               # n_threads
+        ]
+        lib.i2v_decode.restype = ctypes.c_int
+        lib.i2v_decode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32)]
+        _lib = lib
+        return _lib
+
+
+def build_error() -> Optional[str]:
+    return _build_error
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def load_batch(paths: Sequence[str], flips: Sequence[bool],
+               pixel_means: Sequence[float], target_size: int,
+               pad_h: int, pad_w: int, n_threads: int = 8
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode + preprocess a batch natively.
+
+    Returns (images (N, pad_h, pad_w, 3) float32, scales (N,), hw (N, 2)).
+    Raises RuntimeError if any image fails to decode.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native IO unavailable: {_build_error}")
+    n = len(paths)
+    images = np.zeros((n, pad_h, pad_w, 3), np.float32)
+    scales = np.zeros((n,), np.float32)
+    hw = np.zeros((n, 2), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_flips = np.asarray(flips, np.uint8)
+    c_means = np.asarray(pixel_means, np.float32)
+    failed = lib.i2v_load_batch(
+        c_paths, c_flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        c_means.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        target_size, pad_h, pad_w,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+    if failed:
+        bad = [p for p, s in zip(paths, scales) if s == 0.0]
+        raise RuntimeError(f"{failed} images failed to decode: {bad[:3]}")
+    return images, scales, hw
+
+
+def decode_image(path: str) -> np.ndarray:
+    """Decode one image to (H, W, 3) BGR uint8 (parity probe)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native IO unavailable: {_build_error}")
+    hw = np.zeros((2,), np.int32)
+    rc = lib.i2v_decode(path.encode(), None, 0,
+                        hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc:
+        raise FileNotFoundError(path)
+    buf = np.empty((int(hw[0]), int(hw[1]), 3), np.uint8)
+    lib.i2v_decode(path.encode(),
+                   buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                   buf.size, hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return buf

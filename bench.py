@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--max-det", type=int, default=16)
     ap.add_argument("--num-classes", type=int, default=16)
     ap.add_argument("--num-relations", type=int, default=26)
+    ap.add_argument("--stage", default="full",
+                    choices=("full", "backbone", "det", "det_decode"),
+                    help="bisect: backbone only / det heads / +decodeNMS / full")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +72,8 @@ def main():
                         backbone="res101", ic=True, gc=True)
     dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
     sgg = SGGModel(trunk=ResNetTrunk(depth=101, dtype=dtype),
-                   vrd=VRDHead(dtype=dtype), n_rel=args.num_relations)
+                   vrd=VRDHead(dtype=dtype, pooling="align"),
+                   n_rel=args.num_relations)
     md = args.max_det
     prd_vecs = np.random.RandomState(1).randn(
         args.num_relations, 300).astype(np.float32)
@@ -105,8 +109,30 @@ def main():
     sgg_params = jax.device_put(sgg_params, dev)
     log(f"init: {time.time() - t0:.1f}s")
 
-    program = make_frame_program(det, det_params, sgg, sgg_params, prd_vecs,
-                                 cfg, max_det=md, max_per_class=8)
+    if args.stage == "full":
+        program = make_frame_program(det, det_params, sgg, sgg_params,
+                                     prd_vecs, cfg, max_det=md,
+                                     max_per_class=8)
+    else:
+        from i2vsgg_tpu.serve import decode_detections
+
+        @jax.jit
+        def _staged(p, images, im_info):
+            if args.stage == "backbone":
+                feat, tap = det.apply({"params": p}, images,
+                                      method=lambda m, x: m.trunk(x))
+                return feat
+            out = det.apply({"params": p}, images, im_info, mode="inference")
+            if args.stage == "det":
+                return out["cls_prob"], out["bbox_pred"], out["rois"]
+            dets = decode_detections(out["rois"], out["roi_valid"],
+                                     out["cls_prob"], out["bbox_pred"],
+                                     im_info, cfg, max_det=md,
+                                     max_per_class=8)
+            return dets
+
+        def program(images, im_info):
+            return _staged(det_params, images, im_info)
 
     log("compiling fused frame program ...")
     t0 = time.time()

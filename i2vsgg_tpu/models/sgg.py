@@ -58,6 +58,10 @@ class VRDHead(nn.Module):
     pooling_size: int = 7
     dropout_rate: float = 0.5
     fc_dim: int = 4096          # fc6/fc7 width [resnet_SGG_emb.py:98-101]
+    # "pool" = reference parity (resnet_SGG_emb.py:82 ROIPool); "align" =
+    # RoIAlignAvg via the MXU matmul formulation — the serving default
+    # (~10x cheaper on TPU; quality equivalent after training with it)
+    pooling: str = "pool"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,7 +84,10 @@ class VRDHead(nn.Module):
 
         # one pooled batch for objects + unions -> shared fc6/fc7 tower
         all_rois = jnp.concatenate([obj_boxes, union_boxes_], axis=0)
-        pooled = roi_pool(fmap, all_rois, p, p, 1.0 / 16.0)
+        if self.pooling == "align":
+            pooled = roi_align_avg(fmap, all_rois, p, p, 1.0 / 16.0)
+        else:
+            pooled = roi_pool(fmap, all_rois, p, p, 1.0 / 16.0)
         x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
         x = nn.relu(nn.Dense(self.fc_dim, name="fc6")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)

@@ -15,8 +15,10 @@ ROIPool math) as used by the SGG relation head
 TPU-native design: bins are rectangular, so the max is computed separably —
 a masked row-max (P, H) sweep then a masked col-max (P, W) sweep — all dense
 VPU work with static shapes; no argmax bookkeeping is needed (the backward is
-the natural VJP of max). Rois are processed by ``lax.map`` to bound live
-memory; the hot path uses the Pallas kernel variant when profitable.
+the natural VJP of max). Rois are vmapped; XLA fuses the broadcasted
+mask-select into the reductions so nothing (R, P, H, W, C)-shaped ever
+materializes (a ``lax.map`` variant was 20x slower: one sequential scan step
+per roi).
 """
 
 from __future__ import annotations
@@ -68,7 +70,9 @@ def roi_pool(features: jnp.ndarray, rois: jnp.ndarray,
         row_mask = (hh[None, :] >= hstart[:, None]) & (hh[None, :] < hend[:, None])
         col_mask = (ww[None, :] >= wstart[:, None]) & (ww[None, :] < wend[:, None])
 
-        fmap = features[bi].astype(jnp.float32)                  # (H, W, C)
+        # single-image batches (the SGG per-frame path) skip the dynamic
+        # batch gather entirely
+        fmap = features[0] if b == 1 else features[bi]           # (H, W, C)
         # row sweep: (PH, W, C)
         rows = jnp.max(
             jnp.where(row_mask[:, :, None, None], fmap[None], NEG), axis=1)
@@ -79,4 +83,4 @@ def roi_pool(features: jnp.ndarray, rois: jnp.ndarray,
         empty = ((hend <= hstart)[:, None] | (wend <= wstart)[None, :])
         return jnp.where(empty[..., None], 0.0, out)
 
-    return jax.lax.map(one_roi, rois).astype(features.dtype)
+    return jax.vmap(one_roi)(rois).astype(features.dtype)

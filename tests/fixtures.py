@@ -88,6 +88,20 @@ def make_fixture_root(root, n_rel=7, n_videos=2, frames_per_video=6):
     with open(rels_path, "wb") as f:
         pickle.dump(gt_rels, f)
 
+    # target-domain gt rels (recognition task) + subject-object prior
+    tgt_rels = {}
+    for index, objs in annos_t.items():
+        n = len(objs)
+        if n >= 2:
+            tgt_rels[index] = [(0, int(rng.randint(n_rel)), 1)]
+    tgt_rels_path = os.path.join(root, "MVidVRD", "target_gt_rels.pkl")
+    with open(tgt_rels_path, "wb") as f:
+        pickle.dump(tgt_rels, f)
+    so_prior = rng.dirichlet(np.ones(n_rel), size=(len(VRD15), len(VRD15)))
+    so_prior_path = os.path.join(root, "MVidVRD", "source_so_prior.pkl")
+    with open(so_prior_path, "wb") as f:
+        pickle.dump(so_prior, f)
+
     # video-level GT in the evaluate() schema [lib/utils.py:375-458]
     class_ids = {c: i + 1 for i, c in enumerate(VRD15)}
     video_ann = {}
@@ -111,4 +125,5 @@ def make_fixture_root(root, n_rel=7, n_videos=2, frames_per_video=6):
     with open(ann_path, "w") as f:
         json.dump(video_ann, f)
     return {"root": root, "gt_rels": rels_path, "video_ann": ann_path,
+            "target_gt_rels": tgt_rels_path, "so_prior": so_prior_path,
             "n_rel": n_rel}

@@ -124,3 +124,20 @@ def test_stage_b_eval_and_metrics(fixture_env, workdir):
     frame_dets = json.load(open(fd))
     assert set(frame_dets) == {"vid00", "vid01"}
     assert len(frame_dets["vid00"]) == 6
+
+
+def test_stage_b_recognition_task(fixture_env, workdir):
+    """vrd_task=pre_det: recognition Accuracy@1/5 via GT pairs + so-prior."""
+    from tools.test_sgg import main
+    ck = _latest_ckpt(workdir, "res10", "MVRD_SGG", "session_1")
+    acc = main(["--dataset", "MVidVRD", "--net", "res10", "--bs", "2",
+                "--num_relations", str(fixture_env["n_rel"]),
+                "--compute_dtype", "float32", "--vrd_task", "pre_det",
+                "--target_gt_rels_path", fixture_env["target_gt_rels"],
+                "--source_so_prior_path", fixture_env["so_prior"],
+                "--save_dir", workdir, "--load_name", _step_arg(ck)]
+               + TINY_CFG + SGG_TINY)
+    assert set(acc) == {"sub", "obj", "pre", "rel"}
+    assert acc["sub"][1] == 1.0          # GT one-hot subject scores
+    assert 0.0 <= acc["pre"][1] <= 1.0
+    assert 0.0 <= acc["pre"][5] <= 1.0

@@ -97,11 +97,26 @@ def test_roi_align_out_of_image_taps_are_zero(rng):
 
 
 def test_roi_align_avg(rng):
+    # roi_align_avg's MXU formulation requires per-image grouped rois
+    # (R = B*N, batch_idx = r // N) — the layout every caller produces
     feat, rois = make_inputs(rng)
+    rois[:, 0] = np.repeat(np.arange(2), 6)
     grid = np_roi_align(feat, rois, 8, 8, 1 / 16.0)
     exp = 0.25 * (grid[:, :-1, :-1] + grid[:, 1:, :-1]
                   + grid[:, :-1, 1:] + grid[:, 1:, 1:])
     got = np.asarray(roi_align_avg(jnp.asarray(feat), jnp.asarray(rois), 7, 7, 1 / 16.0))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_avg_gather_oracle_random_batch_idx(rng):
+    # the gather oracle supports arbitrary batch_idx layouts
+    from i2vsgg_tpu.ops.roi_align import roi_align_avg_gather
+    feat, rois = make_inputs(rng)
+    grid = np_roi_align(feat, rois, 8, 8, 1 / 16.0)
+    exp = 0.25 * (grid[:, :-1, :-1] + grid[:, 1:, :-1]
+                  + grid[:, :-1, 1:] + grid[:, 1:, 1:])
+    got = np.asarray(roi_align_avg_gather(jnp.asarray(feat),
+                                          jnp.asarray(rois), 7, 7, 1 / 16.0))
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
 
 
@@ -118,3 +133,26 @@ def test_roi_pool_tiny_roi_nonempty(rng):
     exp = np_roi_pool(feat, rois, 7, 1 / 16.0)
     got = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois), 7, 7, 1 / 16.0))
     np.testing.assert_allclose(got, exp, rtol=1e-5)
+
+
+def test_roi_align_avg_matmul_matches_gather(rng):
+    """The MXU (weight-matrix) RoIAlignAvg must equal the 4-corner-gather
+    oracle exactly (same single-tap semantics), including out-of-image and
+    degenerate rois, for multi-image grouped batches."""
+    import jax.numpy as jnp
+    from i2vsgg_tpu.ops.roi_align import roi_align_avg, roi_align_avg_gather
+
+    b, h, w, c = 3, 12, 17, 8
+    feats = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    n = 9
+    rois = np.zeros((b * n, 5), np.float32)
+    for i in range(b * n):
+        rois[i, 0] = i // n
+        x1, y1 = rng.uniform(-30, 200, 2)
+        rois[i, 1:] = [x1, y1, x1 + rng.uniform(1, 250),
+                       y1 + rng.uniform(1, 250)]
+    rois[0, 1:] = [0, 0, 0, 0]                   # degenerate
+    out_m = roi_align_avg(feats, jnp.asarray(rois), 7, 7, 1.0 / 16.0)
+    out_g = roi_align_avg_gather(feats, jnp.asarray(rois), 7, 7, 1.0 / 16.0)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_g),
+                               atol=2e-5)

@@ -60,7 +60,9 @@ def main(argv=None):
     from i2vsgg_tpu.serve import make_pair_indices
     from i2vsgg_tpu.train.checkpoint import restore_intersection
     from i2vsgg_tpu.video.association import association
-    from i2vsgg_tpu.video.metrics import detection_output, evaluate
+    from i2vsgg_tpu.video.metrics import (detection_output, evaluate,
+                                          evaluate_recognition,
+                                          recognition_output)
 
     cfg = cfg_from_list(args.set_cfgs + args.extra_cfgs, Config()).replace(
         COMPUTE_DTYPE=args.compute_dtype)
@@ -117,6 +119,24 @@ def main(argv=None):
             return jax.nn.softmax(out["scores"], -1), pv
         return jax.vmap(one)(images, im_info, boxes, nbox)
 
+    # recognition task (vrd_task=pre_det): GT pairs, predicate scores fused
+    # with the log so-prior [lib/utils.py:570-582]; sub/obj scores are the
+    # GT one-hots (the reference driver's detector-score path is incoherent
+    # as shipped — SURVEY.md §8.6 — so GT classification is the canonical
+    # recognition setting)
+    recognition = args.vrd_task == "pre_det"
+    gt_rels = {}
+    so_prior = None
+    if recognition:
+        if os.path.exists(args.target_gt_rels_path):
+            with open(args.target_gt_rels_path, "rb") as f:
+                gt_rels = pickle.load(f)
+        if os.path.exists(args.source_so_prior_path):
+            with open(args.source_so_prior_path, "rb") as f:
+                so_prior = pickle.load(f)
+    n_cls = len(imdb.classes)
+    recognition_preds = {}
+
     frame_detections = {}
     t0 = time.time()
     done = 0
@@ -151,6 +171,31 @@ def main(argv=None):
                                    [sboxes[t].tolist(), oboxes[t].tolist()],
                                    t])
             frame_detections.setdefault(vid, []).append([fno, tuples])
+            if recognition:
+                # raw cosine scores for GT pairs + so-prior fusion
+                raw = np.log(np.clip(rel_prob[bi], 1e-12, None))
+                for (s, p, o) in gt_rels.get(index, []):
+                    if s >= n or o >= n:
+                        continue
+                    pair_slots = np.where((ix1_np == s) & (ix2_np == o))[0]
+                    if not len(pair_slots) or not pv[bi][pair_slots[0]]:
+                        continue
+                    sc, oc = int(classes[s]), int(classes[o])
+                    sub_s = np.zeros(n_cls)
+                    obj_s = np.zeros(n_cls)
+                    sub_s[sc] = 1.0
+                    obj_s[oc] = 1.0
+                    prior = (so_prior[sc - 1, oc - 1]
+                             if so_prior is not None
+                             else np.full((n_rel,), 1.0 / n_rel))
+                    _, _, pre_s = recognition_output(
+                        sub_s[None], obj_s[None], raw[pair_slots[0]][None],
+                        prior[None], n_rel)
+                    recognition_preds.setdefault(vid, []).append({
+                        "triplet": [sc, int(p), oc],
+                        "sub_score": sub_s.tolist(),
+                        "obj_score": obj_s.tolist(),
+                        "pre_score": pre_s[0].tolist()})
             done += 1
         if done % 200 < args.batch_size:
             print(f"  {done} frames ({done / (time.time() - t0):.1f}/s)")
@@ -161,6 +206,13 @@ def main(argv=None):
     with open(os.path.join(out_dir, "frame_detections.json"), "w") as f:
         json.dump(frame_detections, f)
     print(f"frame detections -> {out_dir}/frame_detections.json")
+
+    if recognition:
+        with open(os.path.join(out_dir, "recognition.json"), "w") as f:
+            json.dump(recognition_preds, f)
+        acc = evaluate_recognition(recognition_preds,
+                                   num_fg_classes=n_cls - 1)
+        return acc
 
     video_relations = association(frame_detections,
                                   objects=list(imdb.classes),

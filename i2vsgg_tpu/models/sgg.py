@@ -34,6 +34,14 @@ from i2vsgg_tpu.ops.roi_pool import roi_pool
 from i2vsgg_tpu.ops.roi_align import roi_align_avg
 
 
+def _take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather as a one-hot matmul. For tiny minor dims (boxes (M, 4),
+    embeddings (M, 300)) TPU gathers waste ~97% of the lanes and profiled
+    ~10x slower than this MXU form; idx is small (pair indices)."""
+    oh = (idx[:, None] == jnp.arange(x.shape[0])[None, :]).astype(x.dtype)
+    return oh @ x
+
+
 class PredicateEmbedder(nn.Module):
     """GloVe 300-d -> emb_dim semantic predicate embeddings.
     [resnet_SGG_emb.py:188-192 prd_sem_embeddings]"""
@@ -99,8 +107,8 @@ class VRDHead(nn.Module):
 
         feats = [x_u]
         if self.use_obj_visual:
-            x_s = obj_feat[ix1]
-            x_o = obj_feat[ix2]
+            x_s = _take_rows(obj_feat, ix1)
+            x_o = _take_rows(obj_feat, ix2)
             so = nn.relu(nn.Dense(256, name="fc_so")(
                 jnp.concatenate([x_s, x_o], axis=1)))
             feats.append(so)
@@ -190,8 +198,8 @@ class SGGModel(nn.Module):
         col0 = jnp.zeros((m, 1), obj_boxes.dtype)
         obj_rois = jnp.concatenate([col0, obj_boxes], axis=1)
 
-        sub = obj_boxes[ix1]
-        obj = obj_boxes[ix2]
+        sub = _take_rows(obj_boxes, ix1)
+        obj = _take_rows(obj_boxes, ix2)
         u = union_boxes(sub, obj, im_info[0], im_info[1], margin=10.0)
         union_rois = jnp.concatenate(
             [jnp.zeros((u.shape[0], 1), u.dtype), u], axis=1)

@@ -92,6 +92,10 @@ def parse_args(argv=None):
     # TPU-native additions
     p.add_argument("--mesh", default=0, type=int,
                    help="data-parallel mesh size (0 = all local devices)")
+    p.add_argument("--pretrained_backbone", default="",
+                   help="torch .pth (torchvision/caffe-converted layout) to "
+                        "initialize the backbone from (reference: "
+                        "cfg.RESNET_PATH, lib/model/utils/config.py:246-248)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
     p.add_argument("--max_steps", default=0, type=int,

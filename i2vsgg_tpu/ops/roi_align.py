@@ -172,8 +172,15 @@ def roi_align_avg(features: jnp.ndarray, rois: jnp.ndarray,
     rx_g = rx.reshape(b, n, pw, w)
 
     def per_image(fmap, ry_i, rx_i):
-        # (A combined-weights single-matmul variant measured ~4% slower
-        # end-to-end; the skinny contractions overlap well with prefetch.)
+        # contract the LONGER spatial dim first so the materialized
+        # (N, P, other_dim, C) intermediate is minimal. (A combined-weights
+        # single-matmul variant measured ~4% slower end-to-end; the skinny
+        # contractions overlap well with prefetch.)
+        if w >= h:
+            t = jnp.einsum("njw,hwc->njhc", rx_i, fmap,
+                           preferred_element_type=jnp.float32)
+            return jnp.einsum("njhc,nih->nijc", t, ry_i,
+                              preferred_element_type=jnp.float32)
         t = jnp.einsum("nih,hwc->niwc", ry_i, fmap,
                        preferred_element_type=jnp.float32)
         return jnp.einsum("niwc,njw->nijc", t, rx_i,

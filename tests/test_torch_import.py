@@ -115,3 +115,29 @@ def test_vgg16_head_flatten_permutation(rng):
     feat_hwc = feat_chw.transpose(0, 2, 3, 1).reshape(2, -1)
     got = feat_hwc @ params["fc6"]["kernel"] + params["fc6"]["bias"]
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_resnet_head_import_value_parity(rng):
+    """layer4 (ResNetHead) conversion parity incl. the spatial mean."""
+    from i2vsgg_tpu.models.backbones import ResNetHead
+    n4 = RESNET_STAGES[10][3]
+    layers = [TorchBottleneck(1024, 512, 2, downsample=True)]
+    for _ in range(1, n4):
+        layers.append(TorchBottleneck(2048, 512))
+    tm = tnn.Module()
+    tm.layer4 = tnn.Sequential(*layers)
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.copy_(torch.randn_like(mod.running_mean) * 0.2)
+                mod.running_var.copy_(torch.rand_like(mod.running_var) + 0.5)
+    tm.eval()
+    x = rng.randn(4, 1024, 7, 7).astype(np.float32)
+    with torch.no_grad():
+        ref = tm.layer4(torch.from_numpy(x)).mean(dim=(2, 3)).numpy()
+    from i2vsgg_tpu.utils.torch_import import resnet_head_params
+    params = resnet_head_params(tm.state_dict(), 10)
+    head = ResNetHead(depth=10, dtype=jnp.float32)
+    got = head.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=3e-4)

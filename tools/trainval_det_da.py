@@ -94,6 +94,21 @@ def main(argv=None):
         params = restore_detector_init(ld, ls, state.params)
         state = create_train_state(params, tx)
         print(f"detector-init from {args.load_name} (heads re-initialized)")
+    elif args.pretrained_backbone:
+        from i2vsgg_tpu.utils.torch_import import (
+            load_torch_checkpoint, resnet_trunk_params, resnet_head_params,
+            vgg16_trunk_params, vgg16_head_params)
+        sd = load_torch_checkpoint(args.pretrained_backbone)
+        params = dict(state.params)
+        if args.net == "vgg16":
+            params["trunk"] = vgg16_trunk_params(sd)
+            params["head"] = vgg16_head_params(sd)
+        else:
+            depth = int(args.net[3:])
+            params["trunk"] = resnet_trunk_params(sd, depth)
+            params["head"] = resnet_head_params(sd, depth)
+        state = create_train_state(params, tx)
+        print(f"backbone initialized from {args.pretrained_backbone}")
 
     # data axis must divide the global batch; default to the largest
     # device count that does

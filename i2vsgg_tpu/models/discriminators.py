@@ -57,10 +57,12 @@ class NetDPixel(nn.Module):
                                        dtype=self.dtype, name=name)
         x = nn.relu(conv(512, "conv1")(x))
         x = nn.relu(conv(128, "conv2")(x))
+        # probabilities in fp32: the LSGAN losses reduce over many elements
+        out = jax.nn.sigmoid(conv(1, "conv3")(x).astype(jnp.float32))
         if self.context:
-            feat = jnp.mean(x, axis=(1, 2))                  # (R, 128)
-            return jax.nn.sigmoid(conv(1, "conv3")(x)), feat
-        return jax.nn.sigmoid(conv(1, "conv3")(x))
+            feat = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # (R, 128)
+            return out, feat
+        return out
 
 
 class NetDStyle(nn.Module):
@@ -80,11 +82,12 @@ class NetDStyle(nn.Module):
         x1 = nn.Dense(self.dim * self.rank, dtype=self.dtype, name="fc_1")(x)
         x2 = nn.Dense(self.dim * self.rank, dtype=self.dtype, name="fc_2")(x)
         z = (x1 * x2).reshape(b, -1, self.dim, self.rank)
-        z = jnp.sum(z, axis=-1)                              # (B, HW, dim)
+        # the rank+spatial sums accumulate over HW*rank elements -> fp32
+        z = jnp.sum(z.astype(jnp.float32), axis=-1)          # (B, HW, dim)
         z = jnp.sum(z, axis=1)                               # (B, dim)
         z = jnp.sqrt(nn.relu(z)) - jnp.sqrt(nn.relu(-z))     # signed sqrt
         z = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
-        out = jax.nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="fc1")(z))
+        out = jax.nn.sigmoid(nn.Dense(1, name="fc1")(z))
         if self.context:
             return out, z
         return out

@@ -71,8 +71,8 @@ class FasterRCNN_DA(nn.Module):
         else:
             raise ValueError(self.backbone)
         self.rpn = RPNHead(num_anchors=self.cfg.num_anchors, dtype=dtype)
-        self.netD_pixel = NetDPixel(context=self.ic)
-        self.netD_style = NetDStyle(context=self.gc)
+        self.netD_pixel = NetDPixel(context=self.ic, dtype=dtype)
+        self.netD_style = NetDStyle(context=self.gc, dtype=dtype)
         if self.gc:
             feat_d += 512
         if self.ic:

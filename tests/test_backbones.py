@@ -182,3 +182,24 @@ def test_vgg16_parity():
                        deterministic=True)
     np.testing.assert_allclose(np.asarray(out_h), out_t.numpy(),
                                rtol=1e-2, atol=2e-3)
+
+
+def test_conv1_s2d_equals_direct_conv(rng):
+    """Space-to-depth conv1 must compute the identical function to the
+    direct 7x7/s2 conv (even and odd input sizes)."""
+    import jax
+    import jax.numpy as jnp
+    from i2vsgg_tpu.models.backbones import Conv1S2D
+
+    m = Conv1S2D(dtype=jnp.float32)
+    for h, w in ((64, 96), (60, 80)):
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        kern = params["params"]["kernel"]
+        ref = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert out.shape == ref.shape, (h, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"{h}x{w}")

@@ -148,4 +148,7 @@ def set_dataset_args(args, test: bool = False):
         args.imdb_name = _WIRING[args.dataset][0]
         args.imdbval_name = _WIRING[args.dataset][1]
         args.set_cfgs = list(_SET_CFGS)
+    # net -> YAML config wiring [parser_func.py:210-212]
+    args.cfg_file = (f"cfgs/{args.net}_ls.yml" if args.large_scale
+                     else f"cfgs/{args.net}.yml")
     return args

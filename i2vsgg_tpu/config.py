@@ -115,12 +115,27 @@ class Config:
         return _freplace(self, **kw)
 
 
-def _merge_into(dc, src: Mapping[str, Any]):
+# Reference config keys with no equivalent here (GPU/caffe/snapshot knobs,
+# dead options); silently skipped when loading reference YAMLs so
+# ``cfgs/*.yml`` written for the PyTorch tree load unchanged.
+LEGACY_KEYS = frozenset({
+    "HAS_RPN", "IMS_PER_BATCH", "PROPOSAL_METHOD", "DISPLAY",
+    "SNAPSHOT_PREFIX", "SNAPSHOT_ITERS", "SNAPSHOT_KEPT", "EXP_DIR",
+    "USE_GPU_NMS", "GPU_ID", "DATA_DIR", "ROOT_DIR", "MATLAB", "USE_FLIPPED",
+    "ASPECT_GROUPING", "SUMMARY_INTERVAL", "TRIM_HEIGHT", "TRIM_WIDTH",
+    "USE_ALL_GT", "PRETRAIN_PATH", "RESNET_PATH", "VGG_PATH", "DEDUP_BOXES",
+    "PROPOSAL_LIMIT", "MODE", "SVM", "BBOX_VOTE", "AGNOSTIC",
+})
+
+
+def _merge_into(dc, src: Mapping[str, Any], strict: bool = True):
     """Recursively merge a dict into a frozen dataclass, returning a copy."""
     kw = {}
     names = {f.name: f for f in dataclasses.fields(dc)}
     for key, value in src.items():
         if key not in names:
+            if not strict or key in LEGACY_KEYS:
+                continue
             raise KeyError(f"Unknown config key: {key!r} for {type(dc).__name__}")
         cur = getattr(dc, key)
         if dataclasses.is_dataclass(cur) and isinstance(value, Mapping):

@@ -62,7 +62,12 @@ def main(argv=None):
                                       sgg_optimizer)
     from i2vsgg_tpu.utils.logging import MetricsLogger, StepTimer
 
-    cfg = cfg_from_list(args.set_cfgs + args.extra_cfgs, Config()).replace(
+    base_cfg = Config()
+    if os.path.exists(getattr(args, "cfg_file", "")):
+        from i2vsgg_tpu.config import cfg_from_file
+        base_cfg = cfg_from_file(args.cfg_file, base_cfg)
+        print(f"loaded config {args.cfg_file}")
+    cfg = cfg_from_list(args.set_cfgs + args.extra_cfgs, base_cfg).replace(
         COMPUTE_DTYPE=args.compute_dtype)
 
     # flips are disabled: relation triples index into the ORIGINAL gt order

@@ -102,6 +102,8 @@ def parse_args(argv=None):
                    help="hard step cap (0 = full epochs); for smoke runs")
     p.add_argument("--video_ann", default="",
                    help="video_annotations JSON for relation metrics")
+    p.add_argument("--profile_dir", default="",
+                   help="write a jax.profiler trace of steps 10-20 here")
     p.add_argument("--cfg", dest="extra_cfgs", nargs="*", default=[],
                    help="extra KEY VALUE config overrides "
                         "(reference cfg_from_list format)")

@@ -126,6 +126,27 @@ def test_stage_b_eval_and_metrics(fixture_env, workdir):
     assert len(frame_dets["vid00"]) == 6
 
 
+def test_serve_video_driver(fixture_env, workdir):
+    """Production serving path: detected boxes -> fused det+SGG program ->
+    association, end to end on the fixture videos."""
+    from tools.serve_video import main
+    det_ck = _latest_ckpt(workdir, "res10", "MVRD", "session_1")
+    sgg_ck = _latest_ckpt(workdir, "res10", "MVRD_SGG", "session_1")
+    rels = main(["--dataset", "MVidVRD", "--net", "res10", "--bs", "2",
+                 "--ic", "--gc",
+                 "--num_relations", str(fixture_env["n_rel"]),
+                 "--compute_dtype", "float32",
+                 "--save_dir", workdir,
+                 "--load_name", _step_arg(det_ck),
+                 "--sgg_load_name", _step_arg(sgg_ck),
+                 "--max_det", "6"] + TINY_CFG + SGG_TINY)
+    out = os.path.join(workdir, "serve", "MVidVRD_test",
+                       "frame_detections.json")
+    frame_dets = json.load(open(out))
+    assert set(frame_dets) == {"vid00", "vid01"}
+    assert isinstance(rels, dict)
+
+
 def test_stage_b_recognition_task(fixture_env, workdir):
     """vrd_task=pre_det: recognition Accuracy@1/5 via GT pairs + so-prior."""
     from tools.test_sgg import main

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Production video serving: fused det+SGG over a frame stream + association.
+
+The deployment analogue of ``tools/test_sgg.py`` but with DETECTED boxes
+(not GT): every frame batch runs the single fused XLA program
+(backbone -> proposals -> per-class NMS -> top-K detections -> all-pair
+predicate scoring, ``i2vsgg_tpu/serve.py``), frames shard across the chip
+mesh (video-axis data parallelism), and only packed tuples land on host for
+association into video-relation trajectories.
+
+Usage:
+  python tools/serve_video.py --dataset MVidVRD --net res101 \
+      --load_name <det ckpt> --sgg_load_name <sgg ckpt> [--bs 8]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(argv=None):
+    from tools.trainval_sgg import load_predicate_vectors
+    from tools.test_sgg import frame_key
+    from i2vsgg_tpu.cli.args import parse_args, set_dataset_args
+
+    import argparse
+    # extra flag: the SGG checkpoint (detector ckpt goes in --load_name)
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--sgg_load_name", default="")
+    extra.add_argument("--max_det", default=16, type=int)
+    ns, rest = extra.parse_known_args(argv)
+    args = set_dataset_args(parse_args(rest), test=True)
+
+    import jax
+    import jax.numpy as jnp
+    from i2vsgg_tpu.config import Config, cfg_from_list
+    from i2vsgg_tpu.data.pipeline import DetectionLoader
+    from i2vsgg_tpu.data.roidb import combined_roidb
+    from i2vsgg_tpu.models.backbones import ResNetTrunk, VGG16Trunk
+    from i2vsgg_tpu.models.faster_rcnn import FasterRCNN_DA
+    from i2vsgg_tpu.models.sgg import SGGModel, VRDHead
+    from i2vsgg_tpu.serve import make_frame_program, make_pair_indices
+    from i2vsgg_tpu.train.checkpoint import restore_intersection
+    from i2vsgg_tpu.video.association import association
+    from i2vsgg_tpu.video.metrics import detection_output
+
+    base_cfg = Config()
+    if os.path.exists(getattr(args, "cfg_file", "")):
+        from i2vsgg_tpu.config import cfg_from_file
+        base_cfg = cfg_from_file(args.cfg_file, base_cfg)
+    cfg = cfg_from_list(args.set_cfgs + args.extra_cfgs, base_cfg).replace(
+        COMPUTE_DTYPE=args.compute_dtype)
+
+    imdb, roidb, _, idx = combined_roidb(args.imdbval_name, training=False,
+                                         use_flipped=False)
+    print(f"{len(roidb)} frames ({args.imdbval_name})")
+    loader = DetectionLoader(roidb, idx, cfg, args.batch_size, training=False)
+
+    prd_np = load_predicate_vectors(args)
+    n_rel = prd_np.shape[0]
+    md = ns.max_det
+    dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
+
+    det = FasterRCNN_DA(num_classes=len(imdb.classes), cfg=cfg,
+                        backbone=args.net,
+                        class_agnostic=args.class_agnostic,
+                        ic=args.ic, gc=args.gc)
+    det_params = det.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 128, 160, 3), jnp.float32),
+                          jnp.asarray([[128, 160, 1.0]], jnp.float32),
+                          mode="inference")["params"]
+    if args.load_name not in ("", "models"):
+        det_params = restore_intersection(
+            os.path.dirname(args.load_name),
+            int(os.path.basename(args.load_name)), det_params)
+        print(f"detector: {args.load_name}")
+
+    trunk = (VGG16Trunk(dtype=dtype) if args.net == "vgg16"
+             else ResNetTrunk(depth=int(args.net[3:]), dtype=dtype))
+    sgg = SGGModel(trunk=trunk,
+                   vrd=VRDHead(emb_dim=args.emb_dim,
+                               spatial_type=args.spatial_type,
+                               use_obj_visual=args.use_obj_visual,
+                               fc_dim=args.vrd_fc_dim, dtype=dtype,
+                               pooling="align"),
+                   n_rel=n_rel)
+    ix1_np, ix2_np = make_pair_indices(md)
+    ixz = jnp.zeros((len(ix1_np),), jnp.int32)
+    sgg_params = sgg.init(
+        {"params": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 8, 10, 1024), dtype), jnp.asarray([128, 160, 1.0]),
+        jnp.zeros((md, 4)), ixz, ixz, jnp.zeros(ixz.shape, bool),
+        jnp.asarray(prd_np), method=SGGModel.head_on_features)["params"]
+    if ns.sgg_load_name:
+        sgg_params = restore_intersection(
+            os.path.dirname(ns.sgg_load_name),
+            int(os.path.basename(ns.sgg_load_name)), sgg_params)
+        print(f"sgg head: {ns.sgg_load_name}")
+
+    program = make_frame_program(det, det_params, sgg, sgg_params, prd_np,
+                                 cfg, max_det=md)
+
+    frame_detections = {}
+    t0 = time.time()
+    done = 0
+    for batch in loader:
+        out = jax.device_get(program(jnp.asarray(batch["image"]),
+                                     jnp.asarray(batch["im_info"])))
+        for bi, ridx in enumerate(batch["indices"]):
+            index = os.path.splitext(os.path.basename(
+                roidb[int(ridx)]["image"]))[0]
+            vid, fno = frame_key(index, None)
+            valid = out["det_valid"][bi]
+            pv = out["pair_valid"][bi]
+            res = detection_output(
+                out["rel_prob"][bi][pv], out["boxes"][bi][valid],
+                out["classes"][bi][valid], out["scores"][bi][valid],
+                # remap pair indices into the valid-compacted box list
+                np.cumsum(valid)[out["ix1"][pv]] - 1,
+                np.cumsum(valid)[out["ix2"][pv]] - 1, top_k=100)
+            tuples = []
+            if res is not None:
+                rlp, tconfs, sboxes, oboxes, _ = res
+                for t in range(len(tconfs)):
+                    tuples.append([float(tconfs[t]),
+                                   [int(c) for c in rlp[t]],
+                                   [sboxes[t].tolist(), oboxes[t].tolist()],
+                                   t])
+            frame_detections.setdefault(vid, []).append([fno, tuples])
+            done += 1
+        if done % 200 < args.batch_size:
+            print(f"  {done} frames ({done / (time.time() - t0):.1f} fps)")
+
+    fps = done / (time.time() - t0)
+    out_dir = os.path.join(args.save_dir, "serve", args.imdbval_name)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "frame_detections.json"), "w") as f:
+        json.dump(frame_detections, f)
+    video_relations = association(frame_detections,
+                                  objects=list(imdb.classes),
+                                  predicates=[str(i) for i in range(n_rel)])
+    with open(os.path.join(out_dir, "video_relations.json"), "w") as f:
+        json.dump(video_relations, f)
+    print(f"{done} frames -> {sum(len(v) for v in video_relations.values())} "
+          f"video relations at {fps:.1f} fps (end-to-end incl. host)")
+    return video_relations
+
+
+if __name__ == "__main__":
+    main()

@@ -139,10 +139,16 @@ def main(argv=None):
                 batch_s.pop("indices", None), batch_t.pop("indices", None)
                 batch_s.pop("num_boxes", None)
                 batch_t.pop("num_boxes", None), batch_t.pop("gt_boxes", None)
+                if args.profile_dir and step_i == 10:
+                    jax.profiler.start_trace(args.profile_dir)
                 state, metrics = train_step(
                     state, batch_s, batch_t,
                     jax.random.fold_in(key, step_i))
                 step_i += 1
+                if args.profile_dir and step_i == 20:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace -> {args.profile_dir}")
                 timer.tick(bs)
                 if step_i % args.disp_interval == 0:
                     m = {k: float(v) for k, v in

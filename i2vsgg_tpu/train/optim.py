@@ -51,8 +51,14 @@ def make_label_fn(frozen_prefixes: Sequence[str]):
 def sgd_reference(lr_schedule: Callable[[int], float] | float,
                   cfg: Config,
                   frozen_prefixes: Sequence[str] = ("trunk/conv1",
-                                                    "trunk/bn1")):
-    """Reference-parity SGD. ``lr_schedule`` maps step -> lr."""
+                                                    "trunk/bn1"),
+                  clip_norm: float = 0.0):
+    """Reference-parity SGD. ``lr_schedule`` maps step -> lr.
+
+    ``clip_norm`` > 0 adds global-norm gradient clipping — the reference
+    clips at 10 for the VGG16 backbone (``clip_gradient``,
+    ``net_utils.py:28-36``, applied in the train drivers for vgg16).
+    """
     t = cfg.TRAIN
     if not callable(lr_schedule):
         base = float(lr_schedule)
@@ -68,11 +74,14 @@ def sgd_reference(lr_schedule: Callable[[int], float] | float,
             lambda step: -mult * lr_schedule(step)))
         return optax.chain(*chain)
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"weight": group(False, True),
          "bias": group(True, bool(t.BIAS_DECAY)),
          "frozen": optax.set_to_zero()},
         make_label_fn(frozen_prefixes))
+    if clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
 
 
 def step_decay_schedule(base_lr: float, decay_step_epochs: int,

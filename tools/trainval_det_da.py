@@ -82,7 +82,10 @@ def main(argv=None):
 
     schedule = step_decay_schedule(args.lr, args.lr_decay_step,
                                    args.lr_decay_gamma, steps_per_epoch)
-    tx = sgd_reference(schedule, cfg)
+    # the reference clips gradients at 10 for the VGG16 backbone
+    # [trainval_net_instance_styleD_bilinear.py clip_gradient call]
+    tx = sgd_reference(schedule, cfg,
+                       clip_norm=10.0 if args.net == "vgg16" else 0.0)
     state = create_train_state(params, tx)
 
     ckpt_dir = os.path.join(args.save_dir, args.net, args.dataset,

@@ -126,6 +126,16 @@ def test_stage_b_eval_and_metrics(fixture_env, workdir):
     assert len(frame_dets["vid00"]) == 6
 
 
+def test_vgg16_detection_inference(fixture_env, workdir):
+    """BASELINE config 1: VGG16 Faster R-CNN detection inference on the VRD
+    stills (random weights; exercises the vgg16 trunk/head + cfgs wiring)."""
+    from tools.test_det import main
+    aps = main(["--dataset", "MVRD", "--net", "vgg16", "--bs", "2",
+                "--compute_dtype", "float32", "--save_dir", workdir]
+               + TINY_CFG)
+    assert aps is not None
+
+
 def test_serve_video_driver(fixture_env, workdir):
     """Production serving path: detected boxes -> fused det+SGG program ->
     association, end to end on the fixture videos."""

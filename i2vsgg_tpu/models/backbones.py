@@ -63,13 +63,14 @@ class FrozenBatchNorm(nn.Module):
 class Conv1S2D(nn.Module):
     """ResNet conv1 (7x7/s2 on RGB) computed as a space-to-depth conv.
 
-    C_in=3 wastes 97% of the MXU's 128 input lanes — profiled at 2.9ms per
-    8x600x960 step. Packing 2x2 input pixels into channels (C_in=12) and
-    running the zero-padded 8x8 kernel as a 4x4 stride-1 conv on the packed
-    grid computes the IDENTICAL function ~4x faster (the MLPerf ResNet
-    space-to-depth trick). The param keeps the canonical (7, 7, 3, 64)
-    layout, so checkpoints and torch weight import are unaffected; odd-sized
-    inputs fall back to the direct conv.
+    Packing 2x2 input pixels into channels (C_in=12) and running the
+    zero-padded 8x8 kernel as a 4x4 stride-1 conv on the packed grid
+    computes the IDENTICAL function (the MLPerf ResNet space-to-depth
+    trick). A/B on the fused 8x600x960 serving bench measured the DIRECT
+    conv slightly faster end-to-end (169.7 vs 163.0 fps — XLA's own conv1
+    handling beats the extra reshape/pad passes here), so s2d is opt-in
+    via I2VSGG_S2D=1. The param keeps the canonical (7, 7, 3, 64) layout
+    either way.
     """
     dtype: jnp.dtype = jnp.bfloat16
 
@@ -78,7 +79,8 @@ class Conv1S2D(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (7, 7, 3, 64)).astype(self.dtype)
         b, h, wd, _ = x.shape
-        if h % 2 or wd % 2:
+        import os as _os
+        if h % 2 or wd % 2 or _os.environ.get("I2VSGG_S2D") != "1":
             return jax.lax.conv_general_dilated(
                 x, w, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))

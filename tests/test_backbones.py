@@ -184,12 +184,14 @@ def test_vgg16_parity():
                                rtol=1e-2, atol=2e-3)
 
 
-def test_conv1_s2d_equals_direct_conv(rng):
+def test_conv1_s2d_equals_direct_conv(rng, monkeypatch):
     """Space-to-depth conv1 must compute the identical function to the
     direct 7x7/s2 conv (even and odd input sizes)."""
     import jax
     import jax.numpy as jnp
     from i2vsgg_tpu.models.backbones import Conv1S2D
+
+    monkeypatch.setenv("I2VSGG_S2D", "1")
 
     m = Conv1S2D(dtype=jnp.float32)
     for h, w in ((64, 96), (60, 80)):

@@ -76,8 +76,9 @@ def generate_proposals(fg_probs: jnp.ndarray, bbox_deltas: jnp.ndarray,
         k = min(pre_nms_top_n, n)
         top_scores, top_idx = jax.lax.top_k(scores_i, k)
         top_boxes = proposals[top_idx]
+        # top_k already returns score-descending candidates
         keep, keep_valid = nms_indices(top_boxes, top_scores, nms_thresh,
-                                       max_out=post_nms_top_n)
+                                       max_out=post_nms_top_n, presorted=True)
         safe = jnp.maximum(keep, 0)
         rois4 = jnp.where(keep_valid[:, None], top_boxes[safe], 0.0)
         col0 = jnp.full((post_nms_top_n, 1), batch_idx, rois4.dtype)

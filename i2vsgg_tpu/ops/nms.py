@@ -89,10 +89,10 @@ def _chunk_fixpoint_keep(cboxes, calive, thresh):
     return k
 
 
-@functools.partial(jax.jit, static_argnames=("max_out", "chunk"))
+@functools.partial(jax.jit, static_argnames=("max_out", "chunk", "presorted"))
 def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, thresh,
                 max_out: int, valid: jnp.ndarray | None = None,
-                chunk: int | None = None):
+                chunk: int | None = None, presorted: bool = False):
     """Greedy NMS with fixed output size (chunked fixpoint formulation).
 
     Args:
@@ -102,6 +102,8 @@ def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, thresh,
       max_out: static number of outputs (pad with -1 / False).
       valid: optional (N,) bool mask; invalid boxes are never selected.
       chunk: chunk size (defaults to a bandwidth-friendly choice).
+      presorted: caller guarantees score-descending order (e.g. proposals
+        straight out of top_k) — skips a full argsort.
 
     Returns:
       keep: (max_out,) int32 indices into the input, -1 padded.
@@ -109,9 +111,14 @@ def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, thresh,
     """
     n = boxes.shape[0]
     scores = jnp.where(valid, scores, NEG_INF) if valid is not None else scores
-    order = jnp.argsort(-scores)
-    sboxes = boxes[order]
-    alive = scores[order] > NEG_INF / 2
+    if presorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        sboxes = boxes
+        alive = scores > NEG_INF / 2
+    else:
+        order = jnp.argsort(-scores)
+        sboxes = boxes[order]
+        alive = scores[order] > NEG_INF / 2
 
     # chunk size trades sequential chunk count (n/c) against per-chunk
     # fixpoint cost (c^2); ~1k keeps the proposal NMS (n=6000-12000) at a

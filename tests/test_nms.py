@@ -132,3 +132,21 @@ def test_chunked_fixpoint_chunk_size_invariance(rng):
     for k, v in outs[1:]:
         np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(k))
         np.testing.assert_array_equal(np.asarray(outs[0][1]), np.asarray(v))
+
+
+def test_presorted_matches_unsorted(rng):
+    import jax.numpy as jnp
+    from i2vsgg_tpu.ops.nms import nms_indices
+
+    n = 400
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, 150, n)
+    boxes[:, 1] = rng.uniform(0, 150, n)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(5, 70, n)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(5, 70, n)
+    scores = np.sort(rng.rand(n).astype(np.float32))[::-1].copy()
+    k1, v1 = nms_indices(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 64)
+    k2, v2 = nms_indices(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 64,
+                         presorted=True)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

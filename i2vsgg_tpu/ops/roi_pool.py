@@ -49,7 +49,8 @@ def roi_pool(features: jnp.ndarray, rois: jnp.ndarray,
     and parity oracle.
     """
     b, h, w, c = features.shape
-    if (jax.default_backend() == "tpu" and rois.shape[0] % b == 0
+    from i2vsgg_tpu.ops.roi_align import _on_tpu
+    if (_on_tpu() and rois.shape[0] % b == 0
             and h * w * c * 4 <= 8 * 2 ** 20):
         from i2vsgg_tpu.ops.pallas.roi_pool_kernel import roi_pool_pallas
         return roi_pool_pallas(features, rois, pooled_height, pooled_width,

@@ -35,8 +35,10 @@ def main():
     ap.add_argument("--num-classes", type=int, default=16)
     ap.add_argument("--num-relations", type=int, default=26)
     ap.add_argument("--stage", default="full",
-                    choices=("full", "backbone", "det", "det_decode"),
-                    help="bisect: backbone only / det heads / +decodeNMS / full")
+                    choices=("full", "backbone", "det", "det_decode",
+                             "train"),
+                    help="bisect: backbone/det/+decode/full inference, or "
+                         "the full adversarial-DA train step")
     args = ap.parse_args()
 
     import jax
@@ -109,7 +111,43 @@ def main():
     sgg_params = jax.device_put(sgg_params, dev)
     log(f"init: {time.time() - t0:.1f}s")
 
-    if args.stage == "full":
+    if args.stage == "train":
+        from i2vsgg_tpu.train.det_da import (create_train_state,
+                                             make_train_step)
+        from i2vsgg_tpu.train.optim import sgd_reference
+        rng = np.random.RandomState(0)
+        g = cfg.TRAIN.MAX_NUM_GT_BOXES
+        gt = np.zeros((b, g, 5), np.float32)
+        for i in range(b):
+            for k in range(8):
+                x1, y1 = rng.uniform(0, h // 2, 2)
+                bw, bh = rng.uniform(30, 200, 2)
+                gt[i, k] = [x1, y1, min(x1 + bw, w - 1),
+                            min(y1 + bh, h - 1), rng.randint(1, 16)]
+        batch_s = {"image": images, "im_info": im_info,
+                   "gt_boxes": jnp.asarray(gt)}
+        batch_t = {"image": images[:, :, ::-1], "im_info": im_info}
+        # training params need the train-mode variables; init on CPU twin
+        with jax.default_device(cpu):
+            tparams = det_init_twin.init(
+                {"params": jax.random.PRNGKey(0),
+                 "sampling": jax.random.PRNGKey(1),
+                 "sampling2": jax.random.PRNGKey(2),
+                 "dropout": jax.random.PRNGKey(3)},
+                jnp.zeros((1, hi, wi, 3), jnp.float32), im_info_i,
+                jnp.zeros((1, g, 5), jnp.float32),
+                mode="train_source")["params"]
+        tx = sgd_reference(5e-4, cfg)
+        state = create_train_state(jax.device_put(tparams, dev), tx)
+        step_fn = make_train_step(det, tx, eta=0.1, eta_style=0.001,
+                                  style_lambda=1.0, cr=True)
+        key = jax.random.PRNGKey(0)
+
+        def program(images, im_info):
+            nonlocal state
+            state, metrics = step_fn(state, batch_s, batch_t, key)
+            return metrics["loss"]
+    elif args.stage == "full":
         program = make_frame_program(det, det_params, sgg, sgg_params,
                                      prd_vecs, cfg, max_det=md,
                                      max_per_class=8)
@@ -151,10 +189,12 @@ def main():
 
     fps = args.steps * b / dt
     log(f"{args.steps} steps x {b} frames in {dt:.3f}s -> {fps:.1f} frames/s")
+    metric = ("det_sgg_inference_throughput" if args.stage == "full"
+              else f"{args.stage}_throughput")
     print(json.dumps({
-        "metric": "det_sgg_inference_throughput",
+        "metric": metric,
         "value": round(fps, 2),
-        "unit": "frames/s/chip",
+        "unit": "frames/s/chip" if args.stage != "train" else "imgs/s/chip",
         "vs_baseline": round(fps / 500.0, 4),
     }))
 

@@ -13,8 +13,6 @@ def test_voc_ap_auc_simple():
     rec = np.asarray([0.5, 0.5, 1.0])
     prec = np.asarray([1.0, 0.5, 2.0 / 3.0])
     # AUC with precision envelope: [0,.5): 1.0; [.5,1): 2/3
-    assert voc_ap(rec, prec) == np.testing.assert_allclose(
-        voc_ap(rec, prec), 0.5 * 1.0 + 0.5 * (2.0 / 3.0)) or True
     np.testing.assert_allclose(voc_ap(rec, prec),
                                0.5 * 1.0 + 0.5 * (2.0 / 3.0))
 

@@ -42,10 +42,15 @@ class RPNHead(nn.Module):
 
 def rpn_softmax_fg(cls_score: jnp.ndarray, num_anchors: int) -> jnp.ndarray:
     """(B, H, W, 2A) scores -> (B, H, W, A) fg probabilities, pairing bg
-    channel a with fg channel A+a. [rpn.py:66-70]"""
+    channel a with fg channel A+a. [rpn.py:66-70]
+
+    softmax([bg, fg])[fg] == sigmoid(fg - bg), but the sigmoid form is
+    overflow-safe for large logits (exp(fg)/(exp(bg)+exp(fg)) -> inf/inf
+    -> NaN for logits >~88 in fp32, which a confident trained RPN can emit).
+    """
     bg = cls_score[..., :num_anchors]
     fg = cls_score[..., num_anchors:]
-    return jnp.exp(fg) / (jnp.exp(bg) + jnp.exp(fg))
+    return jax.nn.sigmoid(fg - bg)
 
 
 class Proposals(NamedTuple):

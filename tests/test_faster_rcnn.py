@@ -127,6 +127,25 @@ def test_full_train_step_updates_params(model_and_params, rng):
     assert float(jnp.max(jnp.abs(t1 - t0))) > 0
 
 
+def test_rpn_softmax_fg_stable_on_large_logits():
+    """sigmoid(fg-bg) form must not NaN on confident logits (+-1e4) and must
+    equal the softmax pairing on moderate ones."""
+    from i2vsgg_tpu.models.rpn import rpn_softmax_fg
+    a = 3
+    # extreme logits: exp() overflows fp32 at ~88
+    big = jnp.asarray([[[[1e4, -1e4, 200.0, -1e4, 1e4, -200.0]]]], jnp.float32)
+    p = np.asarray(rpn_softmax_fg(big, a))[0, 0, 0]
+    assert np.all(np.isfinite(p))
+    np.testing.assert_allclose(p, [0.0, 1.0, 0.0], atol=1e-6)
+    # parity with the softmax definition on moderate logits
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 4, 5, 2 * a).astype(np.float32) * 5)
+    got = np.asarray(rpn_softmax_fg(logits, a))
+    bg, fg = np.split(np.asarray(logits), 2, axis=-1)
+    want = np.exp(fg) / (np.exp(bg) + np.exp(fg))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_det_losses_decrease_over_steps(model_and_params, rng):
     """Training sanity: repeated steps on one batch drive the detection
     losses down (optimizer signs, GRL direction, frozen-BN masking)."""

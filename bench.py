@@ -37,9 +37,13 @@ def main():
     ap.add_argument("--bf16-params", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="store serving weights in bf16 — halves weight "
-                         "streaming, +6%% fps measured; matmuls already "
-                         "cast to bf16 per use so compute numerics are "
-                         "unchanged (disable with --no-bf16-params)")
+                         "streaming, +6%% fps measured. Excludes the "
+                         "precision-sensitive fp32 paths (FrozenBatchNorm "
+                         "statistics, bbox_pred regression head) from the "
+                         "cast; the remaining kernels feed bf16-compute "
+                         "matmuls, so the only numerics change is bf16 "
+                         "rounding of stored weights "
+                         "(disable with --no-bf16-params)")
     ap.add_argument("--stage", default="full",
                     choices=("full", "backbone", "det", "det_decode",
                              "train"),
@@ -114,11 +118,9 @@ def main():
             ix, ix, jnp.zeros(ix.shape, bool), jnp.asarray(prd_vecs),
             method=SGGModel.head_on_features)["params"]
     if args.bf16_params:
-        cast = lambda t: jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32 else x, t)
-        det_params = cast(det_params)
-        sgg_params = cast(sgg_params)
+        from i2vsgg_tpu.utils.params import bf16_storage_cast
+        det_params = bf16_storage_cast(det_params)
+        sgg_params = bf16_storage_cast(sgg_params)
     det_params = jax.device_put(det_params, dev)
     sgg_params = jax.device_put(sgg_params, dev)
     log(f"init: {time.time() - t0:.1f}s")

@@ -88,6 +88,12 @@ def parse_args(argv=None):
     p.add_argument("--emb_dim", default=300, type=int)
     p.add_argument("--vrd_fc_dim", default=4096, type=int,
                    help="fc6/fc7 width of the vrd head (4096 = reference)")
+    p.add_argument("--vrd_pooling", default="pool",
+                   choices=("pool", "align"),
+                   help="vrd-head roi pooling: 'pool' = reference parity "
+                        "(resnet_SGG_emb.py:82 ROIPool), 'align' = RoIAlignAvg "
+                        "(faster on TPU; train+serve must match). Recorded in "
+                        "SGG checkpoint metadata; eval/serve read it back")
     p.add_argument("--semi", action="store_true")
     # TPU-native additions
     p.add_argument("--mesh", default=0, type=int,
@@ -100,6 +106,9 @@ def parse_args(argv=None):
                    choices=("bfloat16", "float32"))
     p.add_argument("--max_steps", default=0, type=int,
                    help="hard step cap (0 = full epochs); for smoke runs")
+    p.add_argument("--keep_ckpts", default=0, type=int,
+                   help="keep only the newest K epoch checkpoints (plus the "
+                        "best-metric one); 0 = keep all (reference parity)")
     p.add_argument("--video_ann", default="",
                    help="video_annotations JSON for relation metrics")
     p.add_argument("--profile_dir", default="",

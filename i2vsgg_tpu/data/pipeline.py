@@ -84,7 +84,16 @@ class DetectionLoader:
     def __init__(self, roidb: List[Dict], ratio_index: np.ndarray,
                  cfg: Config, batch_size: int = 1, training: bool = True,
                  seed: int = 0, buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 prefetch: int = 2, native: Optional[bool] = None):
+                 prefetch: int = 2, native: Optional[bool] = None,
+                 gt_truncate: str = "shuffle"):
+        """``gt_truncate`` controls what happens when an image has more than
+        MAX_NUM_GT_BOXES annotations: "shuffle" = random permute + truncate
+        (detection parity, roibatchLoader.py:185-209); "first" = keep the
+        first g boxes in ORIGINAL annotation order — required by the SGG
+        drivers, whose relation triples (s_idx, pred, o_idx) index into the
+        original order and would be silently corrupted by a permutation."""
+        assert gt_truncate in ("shuffle", "first"), gt_truncate
+        self.gt_truncate = gt_truncate
         self.cfg = cfg
         self.training = training
         self.batch_size = batch_size
@@ -139,9 +148,7 @@ class DetectionLoader:
             im_info[i] = [h, w, scale]
             n = len(boxes)
             if n > g:
-                order = self.rng.permutation(n)[:g]
-                boxes, classes = boxes[order], classes[order]
-                n = g
+                boxes, classes, n = self._truncate_gt(boxes, classes, g)
             if n:
                 gt[i, :n, :4] = np.clip(boxes[:, :4], 0,
                                         [w - 1, h - 1, w - 1, h - 1])
@@ -149,6 +156,12 @@ class DetectionLoader:
             num_boxes[i] = n
         return {"image": images, "im_info": im_info, "gt_boxes": gt,
                 "num_boxes": num_boxes}
+
+    def _truncate_gt(self, boxes, classes, g):
+        if self.gt_truncate == "first":
+            return boxes[:g], classes[:g], g
+        order = self.rng.permutation(len(boxes))[:g]
+        return boxes[order], classes[order], g
 
     def _pack_batch_native(self, group: List[int]) -> Dict:
         """Whole-batch decode + preprocess in the C++ runtime."""
@@ -181,9 +194,7 @@ class DetectionLoader:
             classes = e["gt_classes"]
             n = len(boxes)
             if n > g:
-                order = self.rng.permutation(n)[:g]
-                boxes, classes = boxes[order], classes[order]
-                n = g
+                boxes, classes, n = self._truncate_gt(boxes, classes, g)
             if n:
                 gt[i, :n, :4] = np.clip(boxes[:, :4], 0,
                                         [w - 1, h - 1, w - 1, h - 1])

@@ -52,8 +52,12 @@ class NetDPixel(nn.Module):
 
     @nn.compact
     def __call__(self, x, lamb=1.0):
+        from i2vsgg_tpu.models.inits import normal_init
         x = grad_reverse(x.astype(self.dtype), jnp.asarray(lamb, self.dtype))
+        # reference init: normal(0, 0.01) on all three convs
+        # [resnet_instance_styleD_bilinear.py:52-64]
         conv = lambda f, name: nn.Conv(f, (1, 1), use_bias=False,
+                                       kernel_init=normal_init(0.01),
                                        dtype=self.dtype, name=name)
         x = nn.relu(conv(512, "conv1")(x))
         x = nn.relu(conv(128, "conv2")(x))
@@ -76,18 +80,26 @@ class NetDStyle(nn.Module):
 
     @nn.compact
     def __call__(self, x, lamb=1.0):
+        from i2vsgg_tpu.models.inits import kaiming_fan_out, torch_linear_bias
         b = x.shape[0]
         x = grad_reverse(x.astype(self.dtype), jnp.asarray(lamb, self.dtype))
         x = x.reshape(b, -1, x.shape[-1])                    # (B, HW, 512)
-        x1 = nn.Dense(self.dim * self.rank, dtype=self.dtype, name="fc_1")(x)
-        x2 = nn.Dense(self.dim * self.rank, dtype=self.dtype, name="fc_2")(x)
+        # reference init: kaiming_normal fan_out on the weights, torch
+        # Linear default on the biases [resnet_instance_styleD_bilinear.py:104-118]
+        fc = lambda f, fan_in, name: nn.Dense(
+            f, dtype=self.dtype, kernel_init=kaiming_fan_out(),
+            bias_init=torch_linear_bias(fan_in), name=name)
+        x1 = fc(self.dim * self.rank, x.shape[-1], "fc_1")(x)
+        x2 = fc(self.dim * self.rank, x.shape[-1], "fc_2")(x)
         z = (x1 * x2).reshape(b, -1, self.dim, self.rank)
         # the rank+spatial sums accumulate over HW*rank elements -> fp32
         z = jnp.sum(z.astype(jnp.float32), axis=-1)          # (B, HW, dim)
         z = jnp.sum(z, axis=1)                               # (B, dim)
         z = jnp.sqrt(nn.relu(z)) - jnp.sqrt(nn.relu(-z))     # signed sqrt
         z = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
-        out = jax.nn.sigmoid(nn.Dense(1, name="fc1")(z))
+        out = jax.nn.sigmoid(nn.Dense(
+            1, kernel_init=kaiming_fan_out(),
+            bias_init=torch_linear_bias(self.dim), name="fc1")(z))
         if self.context:
             return out, z
         return out

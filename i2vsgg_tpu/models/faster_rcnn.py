@@ -115,7 +115,8 @@ class FasterRCNN_DA(nn.Module):
         scale = 1.0 / self.cfg.FEAT_STRIDE[0]
         if self.cfg.POOLING_MODE == "align":
             return roi_align_avg(base_feat, rois_flat, p, p, scale)
-        return roi_pool(base_feat, rois_flat, p, p, scale)
+        # rois_flat comes from generate_proposals: (B*N, 5) per-image grouped
+        return roi_pool(base_feat, rois_flat, p, p, scale, grouped=True)
 
     def _classify(self, pooled, feat_image, feat_instance, deterministic=True):
         """ROI features -> (cls_score, bbox_pred) with optional context

@@ -25,18 +25,27 @@ from i2vsgg_tpu.ops.nms import nms_indices
 
 
 class RPNHead(nn.Module):
-    """3x3 conv + objectness / bbox-delta 1x1 convs. [rpn.py:27-36]"""
+    """3x3 conv + objectness / bbox-delta 1x1 convs. [rpn.py:27-36]
+
+    All three convs init normal(0, 0.01) with zero bias, matching the
+    reference's explicit head init
+    [faster_rcnn_instance_styleD_bilinear.py:195-208].
+    """
     num_anchors: int = 9
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feat):
+        from i2vsgg_tpu.models.inits import normal_init
         a = self.num_anchors
+        ki = normal_init(0.01)
         x = nn.Conv(512, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                    name="conv")(feat.astype(self.dtype))
+                    kernel_init=ki, name="conv")(feat.astype(self.dtype))
         x = nn.relu(x)
-        cls_score = nn.Conv(2 * a, (1, 1), dtype=self.dtype, name="cls_score")(x)
-        bbox_pred = nn.Conv(4 * a, (1, 1), dtype=self.dtype, name="bbox_pred")(x)
+        cls_score = nn.Conv(2 * a, (1, 1), dtype=self.dtype, kernel_init=ki,
+                            name="cls_score")(x)
+        bbox_pred = nn.Conv(4 * a, (1, 1), dtype=self.dtype, kernel_init=ki,
+                            name="bbox_pred")(x)
         return cls_score.astype(jnp.float32), bbox_pred.astype(jnp.float32)
 
 

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from i2vsgg_tpu.models.inits import (dense_t, torch_linear_kernel,
+                                     torch_linear_bias)
 from i2vsgg_tpu.ops.boxes import union_boxes, dual_mask
 from i2vsgg_tpu.ops.roi_pool import roi_pool
 from i2vsgg_tpu.ops.roi_align import roi_align_avg
@@ -49,9 +51,11 @@ class PredicateEmbedder(nn.Module):
 
     @nn.compact
     def __call__(self, prd_vecs):
-        x = nn.Dense(1024, name="fc0")(prd_vecs)
+        # torch nn.Linear default inits (reference uses bare Sequential of
+        # Linear layers here)
+        x = dense_t(1024, prd_vecs.shape[-1], "fc0")(prd_vecs)
         x = nn.leaky_relu(x, negative_slope=0.1)
-        return nn.Dense(self.emb_dim, name="fc1")(x)
+        return dense_t(self.emb_dim, 1024, "fc1")(x)
 
 
 class VRDHead(nn.Module):
@@ -95,44 +99,56 @@ class VRDHead(nn.Module):
         if self.pooling == "align":
             pooled = roi_align_avg(fmap, all_rois, p, p, 1.0 / 16.0)
         else:
-            pooled = roi_pool(fmap, all_rois, p, p, 1.0 / 16.0)
+            # single-image fmap (B=1): any roi list is trivially grouped
+            pooled = roi_pool(fmap, all_rois, p, p, 1.0 / 16.0, grouped=True)
+        # all FC/Conv layers use torch nn.Linear/nn.Conv2d default inits:
+        # the reference's FC/Conv2d wrappers (lib/model/faster_rcnn/utils.py)
+        # never override them
         x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
-        x = nn.relu(nn.Dense(self.fc_dim, name="fc6")(x))
+        x = nn.relu(dense_t(self.fc_dim, x.shape[-1], "fc6")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        x = nn.relu(nn.Dense(self.fc_dim, name="fc7")(x))
+        x = nn.relu(dense_t(self.fc_dim, self.fc_dim, "fc7")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 
-        obj_feat = nn.Dense(self.emb_dim, name="so_vis_embeddings")(x[:m])
-        x_u = nn.relu(nn.Dense(256, name="fc8")(x[m:]))
+        obj_feat = dense_t(self.emb_dim, self.fc_dim,
+                           "so_vis_embeddings")(x[:m])
+        x_u = nn.relu(dense_t(256, self.fc_dim, "fc8")(x[m:]))
 
         feats = [x_u]
         if self.use_obj_visual:
             x_s = _take_rows(obj_feat, ix1)
             x_o = _take_rows(obj_feat, ix2)
-            so = nn.relu(nn.Dense(256, name="fc_so")(
+            so = nn.relu(dense_t(256, 2 * self.emb_dim, "fc_so")(
                 jnp.concatenate([x_s, x_o], axis=1)))
             feats.append(so)
 
+        conv_t = lambda f, k, fan_in, name, **kw: nn.Conv(
+            f, k, kernel_init=torch_linear_kernel(),
+            bias_init=torch_linear_bias(fan_in), name=name, **kw)
         if self.spatial_type == 1:
-            lo = nn.relu(nn.Dense(256, name="fc_lov")(spatial_fea))
+            lo = nn.relu(dense_t(256, spatial_fea.shape[-1],
+                                 "fc_lov")(spatial_fea))
             feats.append(lo)
         elif self.spatial_type == 2:
             # conv tower over (P, 32, 32, 2) dual masks
-            # [resnet_SGG_emb.py:105-109]
+            # [resnet_SGG_emb.py:105-109]. torch's same_padding is SYMMETRIC
+            # (2, 2) — flax "SAME" with stride 2 would pad (1, 2) and shift
+            # the windows, so pad explicitly
             z = spatial_fea.astype(self.dtype)
-            z = nn.relu(nn.Conv(96, (5, 5), strides=(2, 2), padding="SAME",
-                                name="conv_lo0")(z))
-            z = nn.relu(nn.Conv(128, (5, 5), strides=(2, 2), padding="SAME",
-                                name="conv_lo1")(z))
-            z = nn.relu(nn.Conv(64, (8, 8), padding="VALID",
-                                name="conv_lo2")(z))
+            pad2 = [(2, 2), (2, 2)]
+            z = nn.relu(conv_t(96, (5, 5), 5 * 5 * 2, "conv_lo0",
+                               strides=(2, 2), padding=pad2)(z))
+            z = nn.relu(conv_t(128, (5, 5), 5 * 5 * 96, "conv_lo1",
+                               strides=(2, 2), padding=pad2)(z))
+            z = nn.relu(conv_t(64, (8, 8), 8 * 8 * 128, "conv_lo2",
+                               padding="VALID")(z))
             z = z.reshape(z.shape[0], -1)
-            lo = nn.relu(nn.Dense(256, name="fc_lov")(z))
+            lo = nn.relu(dense_t(256, z.shape[-1], "fc_lov")(z))
             feats.append(lo)
 
         x = jnp.concatenate(feats, axis=1)
-        x = nn.relu(nn.Dense(256, name="fc_fusion")(x))
-        vis_emb = nn.Dense(self.emb_dim, name="fc_rel")(x)
+        x = nn.relu(dense_t(256, x.shape[-1], "fc_fusion")(x))
+        vis_emb = dense_t(self.emb_dim, 256, "fc_rel")(x)
 
         prd_emb = PredicateEmbedder(self.emb_dim,
                                     name="prd_sem_embeddings")(prd_vecs)

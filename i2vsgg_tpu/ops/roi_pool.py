@@ -31,26 +31,31 @@ import jax.numpy as jnp
 NEG = jnp.finfo(jnp.float32).min
 
 
-@functools.partial(jax.jit, static_argnames=("pooled_height", "pooled_width"))
+@functools.partial(jax.jit, static_argnames=("pooled_height", "pooled_width",
+                                             "grouped"))
 def roi_pool(features: jnp.ndarray, rois: jnp.ndarray,
              pooled_height: int = 7, pooled_width: int = 7,
-             spatial_scale: float = 1.0 / 16.0) -> jnp.ndarray:
+             spatial_scale: float = 1.0 / 16.0, *,
+             grouped: bool = False) -> jnp.ndarray:
     """Max RoIPool.
 
     Args:
       features: (B, H, W, C) NHWC feature map.
       rois: (R, 5) [batch_idx, x1, y1, x2, y2] in input-image coords.
+      grouped: caller GUARANTEES per-image grouped rois (R = B*N with
+        batch_idx = r // N). Enables the Pallas kernel, which ignores the
+        rois[:, 0] column and derives the batch index from position; passing
+        ungrouped rois with grouped=True silently pools the wrong image.
 
     Returns: (R, P, P, C).
 
-    On TPU with per-image grouped rois (every in-tree caller) this
-    dispatches to the Pallas kernel — 5x faster, bit-identical
-    (ops/pallas/roi_pool_kernel.py); the jnp sweep below is the fallback
-    and parity oracle.
+    On TPU with grouped=True this dispatches to the Pallas kernel — 5x
+    faster, bit-identical (ops/pallas/roi_pool_kernel.py); the jnp sweep
+    below honors rois[:, 0] and is the fallback and parity oracle.
     """
     b, h, w, c = features.shape
     from i2vsgg_tpu.ops.roi_align import _on_tpu
-    if (_on_tpu() and rois.shape[0] % b == 0
+    if (grouped and _on_tpu() and rois.shape[0] % b == 0
             and h * w * c * 4 <= 8 * 2 ** 20):
         from i2vsgg_tpu.ops.pallas.roi_pool_kernel import roi_pool_pallas
         return roi_pool_pallas(features, rois, pooled_height, pooled_width,

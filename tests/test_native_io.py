@@ -87,6 +87,36 @@ def test_loader_native_equals_python(dataset):
         np.testing.assert_array_equal(ba["num_boxes"], bb["num_boxes"])
 
 
+def test_gt_truncate_first_preserves_annotation_order(dataset):
+    """SGG loaders must keep the first g boxes in ORIGINAL annotation order
+    when an image exceeds MAX_NUM_GT_BOXES (relation triples index into that
+    order); the default shuffle mode may permute."""
+    from i2vsgg_tpu.config import Config
+    from i2vsgg_tpu.data.pipeline import DetectionLoader
+    from i2vsgg_tpu.data.roidb import combined_roidb
+
+    g = 2  # force truncation: fixture images have >2 boxes
+    cfg = Config().replace(
+        TRAIN=Config().TRAIN.__class__(SCALES=(96,), MAX_NUM_GT_BOXES=g))
+    imdb, roidb, _, idx = combined_roidb("MVRD_trainval", use_flipped=False)
+    assert any(len(e["boxes"]) > g for e in roidb), "fixture too sparse"
+    for native in (False, True):
+        loader = DetectionLoader(roidb, idx, cfg, 1, training=True, seed=5,
+                                 native=native, gt_truncate="first")
+        for batch in loader:
+            e = roidb[int(batch["indices"][0])]
+            n = int(batch["num_boxes"][0])
+            assert n == min(len(e["boxes"]), g)
+            scale = batch["im_info"][0, 2]
+            want = e["boxes"][:n] * scale
+            h, w = batch["im_info"][0, :2]
+            want = np.clip(want, 0, [w - 1, h - 1, w - 1, h - 1])
+            np.testing.assert_allclose(batch["gt_boxes"][0, :n, :4], want,
+                                       rtol=1e-5)
+            np.testing.assert_array_equal(batch["gt_boxes"][0, :n, 4],
+                                          e["gt_classes"][:n])
+
+
 def test_load_batch_raises_on_missing(dataset):
     with pytest.raises(RuntimeError):
         runtime.load_batch(["/nonexistent/x.jpg"], [False],

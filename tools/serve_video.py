@@ -47,7 +47,8 @@ def main(argv=None):
     from i2vsgg_tpu.models.faster_rcnn import FasterRCNN_DA
     from i2vsgg_tpu.models.sgg import SGGModel, VRDHead
     from i2vsgg_tpu.serve import make_frame_program, make_pair_indices
-    from i2vsgg_tpu.train.checkpoint import restore_intersection
+    from i2vsgg_tpu.train.checkpoint import (load_metadata,
+                                             restore_intersection)
     from i2vsgg_tpu.video.association import association
     from i2vsgg_tpu.video.metrics import detection_output
 
@@ -82,6 +83,21 @@ def main(argv=None):
             int(os.path.basename(args.load_name)), det_params)
         print(f"detector: {args.load_name}")
 
+    # the head must be built with the SAME pooling the SGG weights were
+    # trained on (fc6/fc7 trained on quantized max-RoIPool features are NOT
+    # interchangeable with bilinear RoIAlign features); read it from the
+    # checkpoint metadata like the reference's in-checkpoint pooling_mode
+    vrd_pooling = args.vrd_pooling
+    if ns.sgg_load_name:
+        try:
+            meta = load_metadata(os.path.dirname(ns.sgg_load_name),
+                                 int(os.path.basename(ns.sgg_load_name)))
+            if "vrd_pooling" in meta:
+                vrd_pooling = meta["vrd_pooling"]
+                print(f"vrd pooling from checkpoint metadata: {vrd_pooling}")
+        except FileNotFoundError:
+            pass
+
     trunk = (VGG16Trunk(dtype=dtype) if args.net == "vgg16"
              else ResNetTrunk(depth=int(args.net[3:]), dtype=dtype))
     sgg = SGGModel(trunk=trunk,
@@ -89,7 +105,7 @@ def main(argv=None):
                                spatial_type=args.spatial_type,
                                use_obj_visual=args.use_obj_visual,
                                fc_dim=args.vrd_fc_dim, dtype=dtype,
-                               pooling="align"),
+                               pooling=vrd_pooling),
                    n_rel=n_rel)
     ix1_np, ix2_np = make_pair_indices(md)
     ixz = jnp.zeros((len(ix1_np),), jnp.int32)

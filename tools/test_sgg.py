@@ -58,7 +58,8 @@ def main(argv=None):
     from i2vsgg_tpu.models.backbones import ResNetTrunk, VGG16Trunk
     from i2vsgg_tpu.models.sgg import SGGModel, VRDHead
     from i2vsgg_tpu.serve import make_pair_indices
-    from i2vsgg_tpu.train.checkpoint import restore_intersection
+    from i2vsgg_tpu.train.checkpoint import (load_metadata,
+                                             restore_intersection)
     from i2vsgg_tpu.video.association import association
     from i2vsgg_tpu.video.metrics import (detection_output, evaluate,
                                           evaluate_recognition,
@@ -75,14 +76,30 @@ def main(argv=None):
     imdb, roidb, _, idx = combined_roidb(args.imdbval_name, training=False,
                                          use_flipped=False)
     print(f"{len(roidb)} eval frames ({args.imdbval_name})")
+    # gt_truncate="first": GT-pair recognition indexes the original
+    # annotation order (see trainval_sgg.py); only applies when n > g
     loader = DetectionLoader(roidb, idx, cfg, batch_size=args.batch_size,
-                             training=False)
+                             training=False, gt_truncate="first")
 
     prd_vecs = jnp.asarray(load_predicate_vectors(args))
     n_rel = prd_vecs.shape[0]
     g = cfg.TRAIN.MAX_NUM_GT_BOXES
     ix1_np, ix2_np = make_pair_indices(g)
     max_pairs = len(ix1_np)
+
+    # pooling mode must match what the checkpoint was trained with
+    # (reference: pooling_mode travels inside checkpoints and overrides cfg,
+    # test_net_instance_styleD_bilinear.py:80-81)
+    vrd_pooling = args.vrd_pooling
+    if args.load_name not in ("", "models"):
+        try:
+            meta = load_metadata(os.path.dirname(args.load_name),
+                                 int(os.path.basename(args.load_name)))
+            if "vrd_pooling" in meta:
+                vrd_pooling = meta["vrd_pooling"]
+                print(f"vrd pooling from checkpoint metadata: {vrd_pooling}")
+        except FileNotFoundError:
+            pass
 
     dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
     trunk = (VGG16Trunk(dtype=dtype) if args.net == "vgg16"
@@ -91,7 +108,8 @@ def main(argv=None):
                      vrd=VRDHead(emb_dim=args.emb_dim,
                                  spatial_type=args.spatial_type,
                                  use_obj_visual=args.use_obj_visual,
-                                 fc_dim=args.vrd_fc_dim),
+                                 fc_dim=args.vrd_fc_dim,
+                                 pooling=vrd_pooling),
                      n_rel=n_rel)
     z = jnp.zeros
     params = model.init(

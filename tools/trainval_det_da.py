@@ -105,10 +105,27 @@ def main(argv=None):
     elif args.pretrained_backbone:
         from i2vsgg_tpu.utils.torch_import import (
             load_torch_checkpoint, resnet_trunk_params, resnet_head_params,
-            vgg16_trunk_params, vgg16_head_params)
+            vgg16_trunk_params, vgg16_head_params, jwyang_detector_params,
+            merge_imported)
+        from i2vsgg_tpu.train.checkpoint import DETECTOR_INIT_EXCLUDE
         sd = load_torch_checkpoint(args.pretrained_backbone)
         params = dict(state.params)
-        if args.net == "vgg16":
+        if "RCNN_base.0.weight" in sd:
+            # full jwyang-layout Faster R-CNN checkpoint (what the reference
+            # starts Stage A from, trainval_…:153-183): import everything,
+            # then drop the reference's exclusion list so the class heads
+            # and netD_pixel re-init for the new run
+            imported = jwyang_detector_params(sd, int(args.net[3:]))
+            for tag in DETECTOR_INIT_EXCLUDE:
+                imported.pop(tag, None)
+                if "rpn" in imported:
+                    imported["rpn"].pop(tag, None)
+            # shape-mismatched leaves (e.g. COCO 81-way vs our class count)
+            # would raise in merge_imported; they were popped above
+            params = merge_imported(params, imported)
+            print(f"jwyang detector init from {args.pretrained_backbone} "
+                  f"({sorted(imported)})")
+        elif args.net == "vgg16":
             params["trunk"] = vgg16_trunk_params(sd)
             params["head"] = vgg16_head_params(sd)
         else:
@@ -172,7 +189,8 @@ def main(argv=None):
                 "session": args.session, "epoch": epoch,
                 "pooling_mode": cfg.POOLING_MODE,
                 "class_agnostic": args.class_agnostic, "net": args.net,
-                "dataset": args.dataset, "classes": list(imdb_s.classes)})
+                "dataset": args.dataset, "classes": list(imdb_s.classes)},
+                keep_last=args.keep_ckpts or None)
             print(f"checkpoint @ step {step_i} (epoch {epoch})")
             if args.max_steps and step_i >= args.max_steps:
                 break

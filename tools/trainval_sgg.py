@@ -89,8 +89,11 @@ def main(argv=None):
     g = cfg.TRAIN.MAX_NUM_GT_BOXES
     max_pairs = 64
 
+    # gt_truncate="first": relation triples index the ORIGINAL annotation
+    # order, so crowded images must keep the first g boxes in order (a
+    # random permute+truncate would silently corrupt the pair labels)
     loader = DetectionLoader(roidb, idx, cfg, bs, training=True,
-                             seed=cfg.RNG_SEED)
+                             seed=cfg.RNG_SEED, gt_truncate="first")
     steps_per_epoch = len(loader)
 
     dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
@@ -100,7 +103,8 @@ def main(argv=None):
                      vrd=VRDHead(emb_dim=args.emb_dim,
                                  spatial_type=args.spatial_type,
                                  use_obj_visual=args.use_obj_visual,
-                                 fc_dim=args.vrd_fc_dim),
+                                 fc_dim=args.vrd_fc_dim,
+                                 pooling=args.vrd_pooling),
                      n_rel=n_rel)
     z = jnp.zeros
     params = model.init(
@@ -174,7 +178,12 @@ def main(argv=None):
             save_checkpoint(ckpt_dir, state, step_i, metadata={
                 "session": args.session, "epoch": epoch, "stage": "sgg",
                 "net": args.net, "num_relations": int(n_rel),
-                "emb_dim": args.emb_dim, "spatial_type": args.spatial_type})
+                "emb_dim": args.emb_dim, "spatial_type": args.spatial_type,
+                # eval/serve must build the head with the SAME pooling the
+                # weights were trained on (like the reference's pooling_mode
+                # travelling inside checkpoints, trainval_…:421-434)
+                "vrd_pooling": args.vrd_pooling},
+                keep_last=args.keep_ckpts or None)
             print(f"checkpoint @ step {step_i} (epoch {epoch})")
             if args.max_steps and step_i >= args.max_steps:
                 break

@@ -165,16 +165,24 @@ class ResNetTrunk(nn.Module):
 
 
 class ResNetHead(nn.Module):
-    """layer4 over pooled 7x7 ROI features + global spatial mean -> (R, 2048).
-    [_head_to_tail, resnet_instance_styleD_bilinear.py:441-443]"""
+    """layer4 over pooled ROI features + global spatial mean -> (R, 2048).
+    [_head_to_tail, resnet_instance_styleD_bilinear.py:441-443]
+
+    ``first_stride=2`` (default) is the reference layout: 7x7 pooled input,
+    block0 strides to 4x4. The fused serving path pools only the 4x4
+    subgrid that the stride-2 convs would sample anyway (positions 0/2/4/6)
+    and calls with ``first_stride=1`` — mathematically identical output for
+    a third of the pooling work. Params are stride-independent, so one
+    checkpoint serves both.
+    """
     depth: int = 101
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, first_stride: int = 2):
         _, _, _, n4 = RESNET_STAGES[self.depth]
         x = x.astype(self.dtype)
-        x = ResNetStage(512, n4, 2, self.dtype, name="layer4")(x)
+        x = ResNetStage(512, n4, first_stride, self.dtype, name="layer4")(x)
         return jnp.mean(x, axis=(1, 2))
 
 

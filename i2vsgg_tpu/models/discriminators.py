@@ -46,27 +46,49 @@ class NetDPixel(nn.Module):
 
     Returns per-pixel probabilities (R, 7, 7, 1); with ``context`` also the
     128-d global-average feature tapped after conv2.
+
+    ``preconv``/``context_tail`` split the forward at conv1 for the fused
+    serving path: conv1 is a no-bias 1x1 (linear), so it commutes EXACTLY
+    with RoIAlign — serving applies it once to the feature map instead of
+    per pooled roi, then pools 512 channels instead of 1024.
     """
     context: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, lamb=1.0):
+    def setup(self):
         from i2vsgg_tpu.models.inits import normal_init
-        x = grad_reverse(x.astype(self.dtype), jnp.asarray(lamb, self.dtype))
         # reference init: normal(0, 0.01) on all three convs
-        # [resnet_instance_styleD_bilinear.py:52-64]
-        conv = lambda f, name: nn.Conv(f, (1, 1), use_bias=False,
-                                       kernel_init=normal_init(0.01),
-                                       dtype=self.dtype, name=name)
-        x = nn.relu(conv(512, "conv1")(x))
-        x = nn.relu(conv(128, "conv2")(x))
+        # [resnet_instance_styleD_bilinear.py:52-64]; param names come from
+        # the attribute names (conv1/conv2/conv3, unchanged)
+        conv = lambda f: nn.Conv(f, (1, 1), use_bias=False,
+                                 kernel_init=normal_init(0.01),
+                                 dtype=self.dtype)
+        self.conv1 = conv(512)
+        self.conv2 = conv(128)
+        self.conv3 = conv(1)
+
+    def __call__(self, x, lamb=1.0):
+        x = grad_reverse(x.astype(self.dtype), jnp.asarray(lamb, self.dtype))
+        x = nn.relu(self.conv1(x))
+        x = nn.relu(self.conv2(x))
         # probabilities in fp32: the LSGAN losses reduce over many elements
-        out = jax.nn.sigmoid(conv(1, "conv3")(x).astype(jnp.float32))
+        out = jax.nn.sigmoid(self.conv3(x).astype(jnp.float32))
         if self.context:
             feat = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # (R, 128)
             return out, feat
         return out
+
+    def preconv(self, fmap):
+        """conv1 applied to the raw (B, H, W, 1024) feature map."""
+        return self.conv1(fmap.astype(self.dtype))
+
+    def context_tail(self, x512):
+        """(R, P, P, 512) pre-conv1 pooled features -> (R, 128) context
+        feature (the ic concat input; the d-probability head is not needed
+        at inference)."""
+        x = nn.relu(x512.astype(self.dtype))
+        x = nn.relu(self.conv2(x))
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
 class NetDStyle(nn.Module):

@@ -259,23 +259,57 @@ class FasterRCNN_DA(nn.Module):
 
     def inference(self, images, im_info):
         """Eval forward: (rois, cls_prob, bbox_pred, roi_valid).
-        [test_net_instance_styleD_bilinear.py:133-176 model call]"""
+        [test_net_instance_styleD_bilinear.py:133-176 model call]
+
+        ResNet + align pooling takes a restructured (mathematically
+        identical) fast path:
+
+        * layer4's stride-2 block0 only ever reads pooled grid positions
+          (0,2,4,6)^2 — so only that 4x4 subgrid is pooled and block0 runs
+          stride 1 (1/3 of the pooling work, exact same values).
+        * netD_pixel's conv1 is a no-bias 1x1 (linear) — it commutes with
+          RoIAlign, so it is applied ONCE to the feature map and the ic
+          context pools 512 channels instead of 1024 (also moves the
+          per-roi conv1 FLOPs to the fmap).
+        """
         base_feat, tap = self.trunk(images)
         rpn_cls, rpn_bbox = self.rpn(base_feat)
         props = self._proposals(base_feat, rpn_cls, rpn_bbox, im_info,
                                 training=False, target=False)
         b, n = props.rois.shape[:2]
         rois_flat = props.rois.reshape(b * n, 5)
-        pooled = self._pool(base_feat, rois_flat)
 
+        p = self.cfg.POOLING_SIZE
+        scale = 1.0 / self.cfg.FEAT_STRIDE[0]
+        fused = (self.backbone.startswith("res")
+                 and self.cfg.POOLING_MODE == "align" and p == 7)
         feat_image = feat_instance = None
         if self.gc:
             _, feat_image = self.netD_style(tap, 0.0)
-        if self.ic:
-            _, feat_instance = self.netD_pixel(pooled, 0.0)
-        cls_score, bbox_pred = self._classify(pooled, feat_image,
-                                              feat_instance,
-                                              deterministic=True)
+        if fused:
+            rf = jax.lax.stop_gradient(rois_flat)
+            pooled4 = roi_align_avg(base_feat, rf, p, p, scale,
+                                    grid=(0, 2, 4, 6))
+            x = self.head(pooled4, first_stride=1).astype(jnp.float32)
+            if self.ic:
+                f512 = self.netD_pixel.preconv(base_feat)
+                pooled_ic = roi_align_avg(f512, rf, p, p, scale)
+                feat_instance = self.netD_pixel.context_tail(pooled_ic)
+            if self.gc:
+                n_rep = x.shape[0] // feat_image.shape[0]
+                x = jnp.concatenate(
+                    [jnp.repeat(feat_image, n_rep, axis=0), x], axis=1)
+            if self.ic:
+                x = jnp.concatenate(
+                    [feat_instance.reshape(x.shape[0], -1), x], axis=1)
+            cls_score, bbox_pred = self.cls_score(x), self.bbox_pred(x)
+        else:
+            pooled = self._pool(base_feat, rois_flat)
+            if self.ic:
+                _, feat_instance = self.netD_pixel(pooled, 0.0)
+            cls_score, bbox_pred = self._classify(pooled, feat_image,
+                                                  feat_instance,
+                                                  deterministic=True)
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         return {
             "rois": props.rois,

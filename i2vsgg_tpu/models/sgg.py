@@ -78,15 +78,22 @@ class VRDHead(nn.Module):
 
     @nn.compact
     def __call__(self, fmap, obj_boxes, union_boxes_, spatial_fea,
-                 ix1, ix2, prd_vecs, *, deterministic: bool = True):
+                 ix1, ix2, prd_vecs, *, u_map=None,
+                 deterministic: bool = True):
         """
         Args:
           fmap: (B, H, W, C) backbone feature map (gradient-stopped by caller).
           obj_boxes: (M, 5) [batch_idx, x1, y1, x2, y2] object rois.
-          union_boxes_: (P, 5) union rois.
+          union_boxes_: (U, 5) union rois — one per ordered pair (U == P)
+            unless ``u_map`` is given.
           spatial_fea: (P, 32, 32, 2) dual masks (spatial_type==2) or (P, 8).
           ix1, ix2: (P,) subject/object indices into obj_boxes.
           prd_vecs: (n_rel, 300) GloVe predicate vectors.
+          u_map: optional (P,) map pair -> row of union_boxes_. The union
+            box (and therefore its pooled/fc6/fc7/fc8 embedding) is
+            SYMMETRIC in (i, j), so serving pools only the unordered-pair
+            unions (U = P/2) and fans the embeddings back out — exactly
+            halving the dominant align+fc6 work. Identical math.
 
         Returns: dict with 'scores' (P, n_rel) cosine logits and
           'union_emb' (P, emb_dim).
@@ -113,6 +120,8 @@ class VRDHead(nn.Module):
         obj_feat = dense_t(self.emb_dim, self.fc_dim,
                            "so_vis_embeddings")(x[:m])
         x_u = nn.relu(dense_t(256, self.fc_dim, "fc8")(x[m:]))
+        if u_map is not None:
+            x_u = _take_rows(x_u, u_map)              # fan out to (P, 256)
 
         feats = [x_u]
         if self.use_obj_visual:
@@ -184,7 +193,8 @@ class SGGModel(nn.Module):
     n_rel: int
 
     def __call__(self, images, im_info, obj_boxes, classes, ix1, ix2,
-                 pair_valid, prd_vecs, *, deterministic: bool = True):
+                 pair_valid, prd_vecs, *, pair_static=None,
+                 deterministic: bool = True):
         """
         Args:
           images: (1, H, W, 3) preprocessed frame.
@@ -192,21 +202,30 @@ class SGGModel(nn.Module):
           obj_boxes: (M, 4) object boxes in input-image scale.
           classes: (M,) int class ids (unused by the head but returned).
           ix1/ix2: (P,) pair indices; pair_valid: (P,) bool.
+          pair_static: see ``head_on_features``.
         Returns dict with 'scores' (P, n_rel) and spatial features.
         """
         base_feat, _ = self.trunk(images)
         return self.head_on_features(base_feat, im_info, obj_boxes, ix1, ix2,
                                      pair_valid, prd_vecs,
+                                     pair_static=pair_static,
                                      deterministic=deterministic)
 
     def head_on_features(self, base_feat, im_info, obj_boxes, ix1, ix2,
-                         pair_valid, prd_vecs, *, deterministic: bool = True):
+                         pair_valid, prd_vecs, *, pair_static=None,
+                         deterministic: bool = True):
         """Relation head on a precomputed backbone feature map.
 
         Used by the fused serving pipeline (``serve.py``) to share ONE trunk
         pass between detection and relation scoring — the reference runs the
         (identical, frozen) backbone twice per frame
         (faster_rcnn_SGG_emb.py:60 after the detector already ran).
+
+        ``pair_static``: optional ``(iu1, iu2, u_map)`` numpy triple from
+        ``serve.make_union_dedup`` when the pair layout is static (serving,
+        all-pairs eval): union rois are pooled once per UNORDERED pair and
+        fanned back out via ``u_map`` — union boxes are symmetric, so this
+        is mathematically identical at half the align+fc6 work.
         """
         base_feat = jax.lax.stop_gradient(base_feat).astype(jnp.float32)
 
@@ -216,7 +235,15 @@ class SGGModel(nn.Module):
 
         sub = _take_rows(obj_boxes, ix1)
         obj = _take_rows(obj_boxes, ix2)
-        u = union_boxes(sub, obj, im_info[0], im_info[1], margin=10.0)
+        u_map = None
+        if pair_static is not None:
+            iu1, iu2, u_map = (jnp.asarray(a) for a in pair_static)
+            sub_u = _take_rows(obj_boxes, iu1)
+            obj_u = _take_rows(obj_boxes, iu2)
+            u = union_boxes(sub_u, obj_u, im_info[0], im_info[1],
+                            margin=10.0)
+        else:
+            u = union_boxes(sub, obj, im_info[0], im_info[1], margin=10.0)
         union_rois = jnp.concatenate(
             [jnp.zeros((u.shape[0], 1), u.dtype), u], axis=1)
 
@@ -229,6 +256,7 @@ class SGGModel(nn.Module):
         spatial = jnp.stack([m_s, m_o], axis=-1)            # (P, 32, 32, 2)
 
         out = self.vrd(base_feat, obj_rois, union_rois, spatial,
-                       ix1, ix2, prd_vecs, deterministic=deterministic)
+                       ix1, ix2, prd_vecs, u_map=u_map,
+                       deterministic=deterministic)
         out["pair_valid"] = pair_valid
         return out

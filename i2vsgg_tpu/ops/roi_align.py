@@ -130,10 +130,12 @@ def _interp_matrix(coords, extent: int, size: int, dtype):
     return w * inside[..., None].astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("pooled_height", "pooled_width"))
+@functools.partial(jax.jit, static_argnames=("pooled_height", "pooled_width",
+                                             "grid"))
 def roi_align_avg(features: jnp.ndarray, rois: jnp.ndarray,
                   pooled_height: int = 7, pooled_width: int = 7,
-                  spatial_scale: float = 1.0 / 16.0) -> jnp.ndarray:
+                  spatial_scale: float = 1.0 / 16.0,
+                  grid: tuple | None = None) -> jnp.ndarray:
     """RoIAlignAvg as two MXU contractions (exact single-tap semantics).
 
     The (P+1)x(P+1) single-tap grid + 2x2 stride-1 avg-pool is a separable
@@ -145,6 +147,11 @@ def roi_align_avg(features: jnp.ndarray, rois: jnp.ndarray,
     Two batched matmuls replace the four corner gathers — on TPU this is
     ~5x faster (gathers are the profiled hot spot; matmuls ride the MXU).
     Rois must be grouped by image: R = B * N with batch_idx = r // N.
+
+    ``grid`` optionally restricts the output to a subset of the PxP grid
+    positions (same subset on both axes) — e.g. (0, 2, 4, 6) computes
+    exactly the cells a following stride-2 conv would sample, for a third
+    of the contraction work. Returns (R, len(grid), len(grid), C) then.
 
     Returns (R, P, P, C).
     """
@@ -176,6 +183,11 @@ def roi_align_avg(features: jnp.ndarray, rois: jnp.ndarray,
                     + jnp.eye(pw + 1, dtype=dtype)[1:]))
     ry = jnp.einsum("ip,rph->rih", avg_y, ry)                # (R, P, H)
     rx = jnp.einsum("jq,rqw->rjw", avg_x, rx)                # (R, P, W)
+    if grid is not None:
+        sel = jnp.asarray(grid, jnp.int32)
+        ry = ry[:, sel]
+        rx = rx[:, sel]
+        ph = pw = len(grid)
 
     # NOTE: a Pallas variant exists (ops/pallas/roi_align_kernel.py) but is
     # NOT dispatched: Mosaic rejects the in-kernel (r*p, h) shape casts the

@@ -127,6 +127,52 @@ def test_full_train_step_updates_params(model_and_params, rng):
     assert float(jnp.max(jnp.abs(t1 - t0))) > 0
 
 
+def test_fused_inference_matches_reference_path(rng):
+    """The restructured align-serving path (4x4 subgrid pooling +
+    stride-1 block0 + netD conv1 commuted onto the fmap) must equal the
+    reference layout (full 7x7 pool, stride-2 block0, per-roi netD conv1)
+    EXACTLY in fp32."""
+    from i2vsgg_tpu.ops.roi_align import roi_align_avg
+
+    cfg = TINY.replace(POOLING_MODE="align")
+    model = FasterRCNN_DA(num_classes=N_CLASSES, cfg=cfg, backbone="res10",
+                          ic=True, gc=True)
+    batch = make_batch(rng, with_gt=False)
+
+    # reference layout, module by module
+    def old_path(model, images, im_info):
+        base_feat, tap = model.trunk(images)
+        rpn_cls, rpn_bbox = model.rpn(base_feat)
+        props = model._proposals(base_feat, rpn_cls, rpn_bbox, im_info,
+                                 training=False, target=False)
+        b, n = props.rois.shape[:2]
+        rois_flat = props.rois.reshape(b * n, 5)
+        pooled = roi_align_avg(base_feat, rois_flat, 7, 7,
+                               1.0 / cfg.FEAT_STRIDE[0])
+        x = model.head(pooled, first_stride=2).astype(jnp.float32)
+        _, feat_image = model.netD_style(tap, 0.0)
+        _, feat_instance = model.netD_pixel(pooled, 0.0)
+        n_rep = x.shape[0] // feat_image.shape[0]
+        x = jnp.concatenate([jnp.repeat(feat_image, n_rep, axis=0), x], 1)
+        x = jnp.concatenate([feat_instance.reshape(x.shape[0], -1), x], 1)
+        cls_prob = jax.nn.softmax(model.cls_score(x), axis=-1)
+        return cls_prob.reshape(b, n, -1), model.bbox_pred(x).reshape(b, n, -1)
+
+    # init via the reference layout (creates the full param set incl. the
+    # netD conv3 the fused path doesn't touch)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        batch["image"], batch["im_info"],
+                        method=old_path)["params"]
+    out = model.apply({"params": params}, batch["image"], batch["im_info"],
+                      mode="inference")
+    ref_prob, ref_box = model.apply({"params": params}, batch["image"],
+                                    batch["im_info"], method=old_path)
+    np.testing.assert_allclose(np.asarray(out["cls_prob"]),
+                               np.asarray(ref_prob), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["bbox_pred"]),
+                               np.asarray(ref_box), rtol=1e-5, atol=1e-5)
+
+
 def test_rpn_softmax_fg_stable_on_large_logits():
     """sigmoid(fg-bg) form must not NaN on confident logits (+-1e4) and must
     equal the softmax pairing on moderate ones."""

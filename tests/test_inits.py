@@ -30,10 +30,16 @@ def _std(x):
 def test_detector_head_init_distributions():
     model = FasterRCNN_DA(num_classes=6, cfg=TINY, backbone="res10",
                           ic=True, gc=True)
-    params = model.init(
+    # the fused inference path skips netD conv3 — take the full
+    # discriminator subtree from a target-mode init (same PRNG key)
+    params = dict(model.init(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, 64, 80, 3)), jnp.asarray([[64, 80, 1.0]]),
-        mode="inference")["params"]
+        mode="inference")["params"])
+    params["netD_pixel"] = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 80, 3)), jnp.asarray([[64, 80, 1.0]]),
+        mode="target")["params"]["netD_pixel"]
 
     # RPN conv/cls/bbox: normal(0, 0.01), zero bias
     for name in ("conv", "cls_score", "bbox_pred"):

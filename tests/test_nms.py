@@ -134,6 +134,49 @@ def test_chunked_fixpoint_chunk_size_invariance(rng):
         np.testing.assert_array_equal(np.asarray(outs[0][1]), np.asarray(v))
 
 
+def test_sortfree_matches_sorted(rng):
+    """nms_indices_unsorted (score-relation mask, no argsort) must produce
+    the same keep set and order as nms_indices across sizes/thresholds/masks,
+    including max_out truncation."""
+    import jax.numpy as jnp
+    from i2vsgg_tpu.ops.nms import nms_indices, nms_indices_unsorted
+
+    for trial in range(6):
+        n = [1, 13, 64, 300, 500, 300][trial]
+        thresh = [0.5, 0.3, 0.5, 0.3, 0.7, 0.5][trial]
+        max_out = min(n, [4, 8, 8, 8, 64, 300][trial])
+        boxes = np.zeros((n, 4), np.float32)
+        boxes[:, 0] = rng.uniform(0, 200, n)
+        boxes[:, 1] = rng.uniform(0, 200, n)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(5, 80, n)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(5, 80, n)
+        scores = rng.rand(n).astype(np.float32)
+        valid = rng.rand(n) > 0.1
+        k1, v1 = nms_indices(jnp.asarray(boxes), jnp.asarray(scores),
+                             thresh, max_out, jnp.asarray(valid))
+        k2, v2 = nms_indices_unsorted(jnp.asarray(boxes), jnp.asarray(scores),
+                                      thresh, max_out, jnp.asarray(valid))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2),
+                                      err_msg=f"trial {trial}")
+
+
+def test_sortfree_tie_break(rng):
+    """Identical scores: ties resolve by lower index first (stable-sort
+    semantics), matching nms_indices."""
+    import jax.numpy as jnp
+    from i2vsgg_tpu.ops.nms import nms_indices, nms_indices_unsorted
+    boxes = np.asarray([[0, 0, 10, 10], [100, 100, 120, 120],
+                        [1, 1, 11, 11], [101, 101, 121, 121]], np.float32)
+    scores = np.asarray([0.5, 0.5, 0.5, 0.5], np.float32)
+    k1, v1 = nms_indices(jnp.asarray(boxes), jnp.asarray(scores), 0.3, 4)
+    k2, v2 = nms_indices_unsorted(jnp.asarray(boxes), jnp.asarray(scores),
+                                  0.3, 4)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
 def test_presorted_matches_unsorted(rng):
     import jax.numpy as jnp
     from i2vsgg_tpu.ops.nms import nms_indices

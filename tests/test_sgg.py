@@ -92,6 +92,27 @@ def test_head_on_features_matches_call(model_params_prd, rng):
                                np.asarray(feat["scores"]), rtol=1e-5)
 
 
+def test_union_dedup_is_exact(model_params_prd, rng):
+    """pair_static (unordered-union dedup) must yield EXACTLY the same
+    scores as per-ordered-pair unions: union boxes are symmetric."""
+    from i2vsgg_tpu.serve import make_pair_indices, make_union_dedup
+    model, params, prd = model_params_prd
+    batch = make_batch(rng)
+    ix1_np, ix2_np = make_pair_indices(G)      # static all-pairs layout
+    pair_static = make_union_dedup(ix1_np, ix2_np)
+    assert len(pair_static[0]) == len(ix1_np) // 2
+    ix1 = jnp.asarray(ix1_np)
+    ix2 = jnp.asarray(ix2_np)
+    pv = jnp.ones((len(ix1_np),), bool)
+    args = (batch["image"][:1], batch["im_info"][0], batch["obj_boxes"][0],
+            jnp.zeros((G,), jnp.int32), ix1, ix2, pv, prd)
+    plain = model.apply({"params": params}, *args)
+    dedup = model.apply({"params": params}, *args, pair_static=pair_static)
+    np.testing.assert_allclose(np.asarray(dedup["scores"]),
+                               np.asarray(plain["scores"]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_bce_loss_masks_invalid_pairs():
     scores = jnp.asarray(np.random.RandomState(0).randn(4, N_REL))
     labels = jnp.zeros((4, N_REL))

@@ -157,7 +157,12 @@ class ResNetTrunk(nn.Module):
         x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # caffe-convention maxpool: k3 s2 pad 0 CEIL mode (the reference's
+        # '# change', resnet_instance_styleD_bilinear.py:228) — NOT
+        # torchvision's pad 1 floor. Ceil mode = implicit -inf pad at the
+        # END when (dim - 3) is odd; out = (dim - 2) // 2 + 1.
+        pe = [(0, 1 if d % 2 == 0 else 0) for d in x.shape[1:3]]
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pe)
         x = ResNetStage(64, n1, 1, self.dtype, name="layer1")(x)
         tap = ResNetStage(128, n2, 2, self.dtype, name="layer2")(x)
         x = ResNetStage(256, n3, 2, self.dtype, name="layer3")(tap)

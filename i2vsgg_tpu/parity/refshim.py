@@ -1,0 +1,251 @@
+"""Make the PyTorch reference importable and runnable on CPU.
+
+Injects into ``sys.modules`` BEFORE any reference import:
+
+* ``easydict`` — minimal EasyDict (attribute-dict), enough for
+  ``lib/model/utils/config.py``.
+* ``torchvision``/``torchvision.models`` — empty stubs (the reference
+  imports them but the styleD detector builds its own ResNet classes,
+  ``resnet_instance_styleD_bilinear.py:148-334``).
+* ``model.roi_align.modules.roi_align`` — pure-torch ``RoIAlignAvg`` with
+  the reference CUDA kernel's exact single-tap semantics
+  (``roi_align_kernel.cu:15-73`` — bin = (roi+1)/(aligned-1), one bilinear
+  tap per cell, hstart = min(floor(h), H-2), zero outside; then 2x2
+  stride-1 avg pool). Mirrors ``i2vsgg_tpu/ops/roi_align.py`` (which is
+  golden-tested against the same .cu math).
+* ``model.roi_pooling.modules.roi_pool`` — pure-torch max RoIPool
+  (round() quantization, floor/ceil bins, empty bins 0), mirroring
+  ``i2vsgg_tpu/ops/roi_pool.py``.
+* ``model.roi_crop.modules.roi_crop`` — inert stub (crop branches are
+  commented out upstream, faster_rcnn_instance_styleD_bilinear.py:105-114).
+
+After installation, ``from model.faster_rcnn.resnet_instance_styleD_bilinear
+import resnet`` works against ``$I2VSGG_REFERENCE/lib`` (default
+``/root/reference/lib``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+_installed = False
+
+
+def reference_root() -> str:
+    return os.environ.get("I2VSGG_REFERENCE", "/root/reference")
+
+
+def install_reference_shims() -> None:
+    """Idempotently register shims + put the reference's lib/ on sys.path."""
+    global _installed
+    if _installed:
+        return
+    import numpy as np
+    import torch
+
+    lib = os.path.join(reference_root(), "lib")
+    if lib not in sys.path:
+        sys.path.insert(0, lib)
+
+    # ---- easydict ------------------------------------------------------
+    if "easydict" not in sys.modules:
+        class EasyDict(dict):
+            def __init__(self, d=None, **kw):
+                super().__init__()
+                d = dict(d or {}, **kw)
+                for k, v in d.items():
+                    setattr(self, k, v)
+
+            def __setattr__(self, name, value):
+                if isinstance(value, dict) and not isinstance(value, EasyDict):
+                    value = EasyDict(value)
+                super().__setattr__(name, value)
+                self[name] = value
+
+            def __setitem__(self, name, value):
+                super().__setitem__(name, value)
+                super().__setattr__(name, value)
+
+            __getattr__ = dict.__getitem__
+
+        m = types.ModuleType("easydict")
+        m.EasyDict = EasyDict
+        sys.modules["easydict"] = m
+
+    # ---- torchvision stub ---------------------------------------------
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+
+    # ---- pure-torch RoIAlign (single-tap reference semantics) ---------
+    def roi_align_forward(features, rois, ah, aw, scale):
+        """features (B, C, H, W), rois (R, 5) -> (R, C, ah, aw)."""
+        b, c, h, w = features.shape
+        r = rois.shape[0]
+        bi = rois[:, 0].long()
+        x1 = rois[:, 1] * scale
+        y1 = rois[:, 2] * scale
+        x2 = rois[:, 3] * scale
+        y2 = rois[:, 4] * scale
+        bin_w = (x2 - x1 + 1.0).clamp(min=0) / (aw - 1.0)
+        bin_h = (y2 - y1 + 1.0).clamp(min=0) / (ah - 1.0)
+        ph = torch.arange(ah, dtype=features.dtype)
+        pw = torch.arange(aw, dtype=features.dtype)
+        ys = ph[None, :] * bin_h[:, None] + y1[:, None]          # (R, AH)
+        xs = pw[None, :] * bin_w[:, None] + x1[:, None]          # (R, AW)
+        inside_y = (ys >= 0) & (ys < h)
+        inside_x = (xs >= 0) & (xs < w)
+        hstart = torch.minimum(torch.floor(ys),
+                               torch.tensor(h - 2.0, dtype=ys.dtype))
+        wstart = torch.minimum(torch.floor(xs),
+                               torch.tensor(w - 2.0, dtype=xs.dtype))
+        hr = (ys - hstart)[:, None, :, None]                     # (R,1,AH,1)
+        wr = (xs - wstart)[:, None, None, :]                     # (R,1,1,AW)
+        hs = hstart.long().clamp(0, h - 2)
+        ws = wstart.long().clamp(0, w - 2)
+        f = features[bi]                                         # (R,C,H,W)
+        yi = hs[:, None, :, None].expand(r, c, ah, aw)
+        xi = ws[:, None, None, :].expand(r, c, ah, aw)
+        flat = f.reshape(r, c, h * w)
+        g = lambda yy, xx: torch.gather(flat, 2,
+                                        (yy * w + xx).reshape(r, c, -1)
+                                        ).reshape(r, c, ah, aw)
+        ul = g(yi, xi)
+        ur = g(yi, xi + 1)
+        dl = g(yi + 1, xi)
+        dr = g(yi + 1, xi + 1)
+        out = (ul * (1 - hr) * (1 - wr) + ur * (1 - hr) * wr
+               + dl * hr * (1 - wr) + dr * hr * wr)
+        inside = (inside_y[:, None, :, None]
+                  & inside_x[:, None, None, :]).to(out.dtype)
+        return out * inside
+
+    class RoIAlignAvg(torch.nn.Module):
+        def __init__(self, aligned_height, aligned_width, spatial_scale):
+            super().__init__()
+            self.ah = int(aligned_height)
+            self.aw = int(aligned_width)
+            self.scale = float(spatial_scale)
+
+        def forward(self, features, rois):
+            x = roi_align_forward(features, rois, self.ah + 1, self.aw + 1,
+                                  self.scale)
+            return torch.nn.functional.avg_pool2d(x, kernel_size=2, stride=1)
+
+    class RoIAlign(torch.nn.Module):
+        def __init__(self, aligned_height, aligned_width, spatial_scale):
+            super().__init__()
+            self.ah = int(aligned_height)
+            self.aw = int(aligned_width)
+            self.scale = float(spatial_scale)
+
+        def forward(self, features, rois):
+            return roi_align_forward(features, rois, self.ah, self.aw,
+                                     self.scale)
+
+    ra = types.ModuleType("model.roi_align.modules.roi_align")
+    ra.RoIAlignAvg = RoIAlignAvg
+    ra.RoIAlign = RoIAlign
+
+    # ---- pure-torch max RoIPool ---------------------------------------
+    class _RoIPooling(torch.nn.Module):
+        def __init__(self, pooled_height, pooled_width, spatial_scale):
+            super().__init__()
+            self.ph = int(pooled_height)
+            self.pw = int(pooled_width)
+            self.scale = float(spatial_scale)
+
+        def forward(self, features, rois):
+            b, c, h, w = features.shape
+            r = rois.shape[0]
+            out = features.new_zeros((r, c, self.ph, self.pw))
+            for n in range(r):
+                bi = int(rois[n, 0])
+                sw = int(torch.round(rois[n, 1] * self.scale))
+                sh = int(torch.round(rois[n, 2] * self.scale))
+                ew = int(torch.round(rois[n, 3] * self.scale))
+                eh = int(torch.round(rois[n, 4] * self.scale))
+                rw = max(ew - sw + 1, 1)
+                rh = max(eh - sh + 1, 1)
+                for p in range(self.ph):
+                    for q in range(self.pw):
+                        hs = int(np.clip(np.floor(p * rh / self.ph) + sh,
+                                         0, h))
+                        he = int(np.clip(np.ceil((p + 1) * rh / self.ph)
+                                         + sh, 0, h))
+                        ws_ = int(np.clip(np.floor(q * rw / self.pw) + sw,
+                                          0, w))
+                        we = int(np.clip(np.ceil((q + 1) * rw / self.pw)
+                                         + sw, 0, w))
+                        if he > hs and we > ws_:
+                            out[n, :, p, q] = features[
+                                bi, :, hs:he, ws_:we].amax(dim=(1, 2))
+            return out
+
+    rp = types.ModuleType("model.roi_pooling.modules.roi_pool")
+    rp._RoIPooling = _RoIPooling
+
+    class _RoICrop(torch.nn.Module):          # dead upstream; inert
+        def forward(self, *a, **k):
+            raise NotImplementedError("roi_crop is dead code upstream")
+
+    rc = types.ModuleType("model.roi_crop.modules.roi_crop")
+    rc._RoICrop = _RoICrop
+
+    # parent packages must exist as (namespace) modules for the dotted
+    # imports to resolve to our leaves
+    for name, leaf in [("model.roi_align.modules.roi_align", ra),
+                       ("model.roi_pooling.modules.roi_pool", rp),
+                       ("model.roi_crop.modules.roi_crop", rc)]:
+        parts = name.split(".")
+        for i in range(1, len(parts)):
+            pkg = ".".join(parts[:i])
+            if pkg not in sys.modules:
+                m = types.ModuleType(pkg)
+                m.__path__ = [os.path.join(lib, *parts[:i])]
+                sys.modules[pkg] = m
+        sys.modules[name] = leaf
+
+    _installed = True
+
+
+def _patch_torch2_compat():
+    """The reference targets torch 0.4; patch the handful of APIs that
+    behave differently under torch 2.x WITHOUT touching the reference tree.
+    Each patch preserves semantics exactly."""
+    import torch
+    from model.rpn import rpn as rpn_mod
+
+    # torch-2 .view refuses non-contiguous inputs that 0.4 accepted
+    def _reshape(x, d):
+        s = x.size()
+        return x.reshape(s[0], int(d),
+                         int(float(s[1] * s[2]) / float(d)), s[3])
+
+    rpn_mod._RPN.reshape = staticmethod(_reshape)
+
+
+def reference_cfg():
+    """The reference's global cfg (easydict) after shim install."""
+    install_reference_shims()
+    from model.utils.config import cfg
+    return cfg
+
+
+def build_reference_detector(classes, depth=101, ic=True, gc=True,
+                             class_agnostic=False):
+    """Instantiate the reference styleD detector on CPU (random init,
+    pretrained=False so no weight files are needed)."""
+    install_reference_shims()
+    _patch_torch2_compat()
+    from model.faster_rcnn.resnet_instance_styleD_bilinear import resnet
+    model = resnet(classes, depth, pretrained=False,
+                   class_agnostic=class_agnostic, ic=ic, gc=gc)
+    model.create_architecture()
+    model.eval()
+    return model

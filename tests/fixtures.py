@@ -65,6 +65,86 @@ def make_voc_dataset(root, ds_name, indices, ext, seed=0, hw=(96, 128),
     return annos
 
 
+LEARNABLE_CLASSES = VRD15[:8]     # one solid color per class (below)
+_COLORS = [(230, 30, 30), (30, 230, 30), (40, 40, 235), (230, 230, 30),
+           (230, 30, 230), (30, 230, 230), (240, 140, 20), (150, 150, 150)]
+# geometry-derived predicates: deterministically recoverable from boxes, so
+# the relation head has real signal to learn
+LEARNABLE_PREDICATES = ("left-of", "above", "overlaps", "larger", "near")
+
+
+def _geom_relations(objs):
+    """All ordered pairs with their geometry-true predicate ids."""
+    rels = []
+    for s, (_, (sx1, sy1, sx2, sy2)) in enumerate(objs):
+        for o, (_, (ox1, oy1, ox2, oy2)) in enumerate(objs):
+            if s == o:
+                continue
+            if sx2 < ox1:
+                rels.append((s, 0, o))                      # left-of
+            if sy2 < oy1:
+                rels.append((s, 1, o))                      # above
+            iw = min(sx2, ox2) - max(sx1, ox1)
+            ih = min(sy2, oy2) - max(sy1, oy1)
+            if iw > 0 and ih > 0:
+                rels.append((s, 2, o))                      # overlaps
+            if ((sx2 - sx1) * (sy2 - sy1)
+                    > 1.5 * (ox2 - ox1) * (oy2 - oy1)):
+                rels.append((s, 3, o))                      # larger
+            cdist = np.hypot((sx1 + sx2) - (ox1 + ox2),
+                             (sy1 + sy2) - (oy1 + oy2)) / 2
+            if cdist < 60:
+                rels.append((s, 4, o))                      # near
+    return rels
+
+
+def make_learnable_dataset(root, ds_name, n_images, ext=".jpg", seed=0,
+                           hw=(240, 320), split_frac=0.75,
+                           index_fmt="im{:04d}", min_obj=2, max_obj=5):
+    """A dataset a detector can actually LEARN: solid-color rectangles on a
+    dark noisy background, class == color. Detection mAP and relation R@50
+    on the held-out split are then meaningful quality signals for parity
+    runs against the torch reference (VERDICT r1 item 1). Returns
+    (annos dict, gt_rels dict)."""
+    rng = np.random.RandomState(seed)
+    base = os.path.join(root, ds_name)
+    for sub in ("Annotations", "JPEGImages",
+                os.path.join("ImageSets", "Main")):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    h, w = hw
+    annos, gt_rels = {}, {}
+    indices = [index_fmt.format(i) for i in range(n_images)]
+    for index in indices:
+        im = (rng.rand(h, w, 3) * 40).astype(np.uint8)      # dark noise bg
+        objs = []
+        for _ in range(rng.randint(min_obj, max_obj + 1)):
+            bw = rng.randint(30, 90)
+            bh = rng.randint(30, 90)
+            x1 = rng.randint(0, w - bw)
+            y1 = rng.randint(0, h - bh)
+            ci = rng.randint(len(LEARNABLE_CLASSES))
+            col = np.asarray(_COLORS[ci]) + rng.randint(-15, 16, 3)
+            im[y1:y1 + bh, x1:x1 + bw] = np.clip(col, 0, 255)
+            objs.append((LEARNABLE_CLASSES[ci],
+                         (x1, y1, x1 + bw - 1, y1 + bh - 1)))
+        Image.fromarray(im).save(os.path.join(base, "JPEGImages",
+                                              index + ext))
+        _write_xml(os.path.join(base, "Annotations", index + ".xml"),
+                   (h, w), objs)
+        annos[index] = objs
+        gt_rels[index] = _geom_relations(objs)
+    n_train = int(n_images * split_frac)
+    splits = {"trainval": indices[:n_train], "val": indices[:n_train],
+              "test": indices[n_train:]}
+    for split, idxs in splits.items():
+        with open(os.path.join(base, "ImageSets", "Main",
+                               split + ".txt"), "w") as f:
+            f.write("\n".join(idxs) + "\n")
+    with open(os.path.join(base, "source_gt_rels.pkl"), "wb") as f:
+        pickle.dump(gt_rels, f)
+    return annos, gt_rels
+
+
 def make_fixture_root(root, n_rel=7, n_videos=2, frames_per_video=6):
     """Full fixture: MVRD source (8 stills) + MVidVRD target (video frames)
     + source gt_rels pickle + video annotation JSON. Returns paths dict."""

@@ -1,0 +1,190 @@
+"""Run the ACTUAL PyTorch reference model (via parity.refshim) on CPU and
+compare its eval forward against ours with identical (imported) weights —
+full-pipeline value parity: trunk -> RPN -> proposals -> align -> heads.
+This is the SURVEY §4b bit-tolerance comparison the round-1 verdict asked
+for, using the reference's own Python code as the oracle."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir(os.path.join(
+        os.environ.get("I2VSGG_REFERENCE", "/root/reference"), "lib")):
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+from i2vsgg_tpu.config import Config
+from i2vsgg_tpu.models.faster_rcnn import FasterRCNN_DA
+from i2vsgg_tpu.parity.refshim import (build_reference_detector,
+                                       reference_cfg)
+from i2vsgg_tpu.utils.torch_import import (jwyang_detector_params,
+                                           merge_imported)
+
+CLASSES = ("__background__", "ball", "car", "cat", "dog", "person")
+H, W = 128, 160
+PRE, POST = 600, 48
+
+
+@pytest.fixture(scope="module")
+def ref_and_ours():
+    cfg_t = reference_cfg()
+    cfg_t.POOLING_MODE = "align"
+    # anchors must FIT the small test image, else every decoded box clips
+    # to the full frame and NMS resolves fp ties arbitrarily
+    cfg_t.ANCHOR_SCALES = [2, 4, 8]
+    cfg_t.ANCHOR_RATIOS = [0.5, 1, 2]
+    cfg_t.TEST.RPN_PRE_NMS_TOP_N = PRE
+    cfg_t.TEST.RPN_POST_NMS_TOP_N = POST
+    cfg_t.TEST.RPN_NMS_THRESH = 0.7
+
+    torch.manual_seed(0)
+    ref = build_reference_detector(CLASSES, depth=50, ic=True, gc=True)
+    # random-init heads produce near-constant RPN scores and ~zero deltas,
+    # so every decoded box clips to the same image-frame rectangle and the
+    # NMS keep set is decided by fp ties — scale the head weights up so
+    # scores/boxes are diverse and the comparison is well-posed
+    with torch.no_grad():
+        ref.RCNN_rpn.RPN_cls_score.weight.mul_(20.0)
+        ref.RCNN_rpn.RPN_bbox_pred.weight.normal_(0, 0.02)
+        ref.RCNN_bbox_pred.weight.normal_(0, 0.005)
+
+    ours_cfg = Config().replace(
+        POOLING_MODE="align",
+        COMPUTE_DTYPE="float32",
+        ANCHOR_SCALES=(2, 4, 8),
+        TEST=Config().TEST.__class__(RPN_PRE_NMS_TOP_N=PRE,
+                                     RPN_POST_NMS_TOP_N=POST,
+                                     RPN_NMS_THRESH=0.7),
+    )
+    model = FasterRCNN_DA(num_classes=len(CLASSES), cfg=ours_cfg,
+                          backbone="res50", ic=True, gc=True)
+    init = dict(model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, H, W, 3)),
+        jnp.asarray([[H, W, 1.0]]), mode="inference")["params"])
+    # the fused inference path never touches netD conv3; the target pass
+    # does — take the full discriminator subtree from a target-mode init
+    init["netD_pixel"] = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, H, W, 3)),
+        jnp.asarray([[H, W, 1.0]]), mode="target")["params"]["netD_pixel"]
+    imported = jwyang_detector_params(ref.state_dict(), 50)
+    params = merge_imported(init, imported)
+    return ref, model, params
+
+
+def _inputs(rng):
+    im = rng.randn(1, H, W, 3).astype(np.float32) * 30
+    im_info = np.asarray([[H, W, 1.0]], np.float32)
+    return im, im_info
+
+
+def test_eval_forward_full_parity(ref_and_ours, rng):
+    ref, model, params = ref_and_ours
+    im, im_info = _inputs(rng)
+
+    with torch.no_grad():
+        rois_t, cls_t, box_t, *_ = ref(
+            torch.from_numpy(im.transpose(0, 3, 1, 2)),
+            torch.from_numpy(im_info),
+            torch.zeros(1, 1, 5), torch.zeros(1))
+    rois_t = rois_t.numpy()[0]
+    cls_t = cls_t.numpy()[0]
+    box_t = box_t.numpy()[0]
+
+    out = model.apply({"params": params}, jnp.asarray(im),
+                      jnp.asarray(im_info), mode="inference")
+    rois_j = np.asarray(out["rois"])[0]
+    valid = np.asarray(out["roi_valid"])[0]
+    cls_j = np.asarray(out["cls_prob"])[0]
+    box_j = np.asarray(out["bbox_pred"])[0]
+
+    # the reference zero-pads rois past the kept set exactly like our
+    # validity mask
+    n_ref = int((rois_t.sum(axis=1) != 0).sum())
+    n_ours = int(valid.sum())
+    assert abs(n_ref - n_ours) <= 2, (n_ref, n_ours)
+    k = min(n_ref, n_ours)
+    assert k > 5
+
+    # near-tied RPN scores (clipped border anchors give identical boxes)
+    # make the keep ORDER fp-sensitive between frameworks, so compare the
+    # keep SETS via greedy 1-1 roi matching, then heads on matched rows
+    used = np.zeros(k, bool)
+    n_matched = 0
+    for i in range(k):
+        d = np.abs(rois_j[:k] - rois_t[i][None]).max(axis=1)
+        d[used] = np.inf
+        j = int(np.argmin(d))
+        if d[j] > 0.05:
+            continue
+        used[j] = True
+        n_matched += 1
+        np.testing.assert_allclose(cls_j[j], cls_t[i], rtol=5e-3, atol=2e-3,
+                                   err_msg=f"cls_prob at matched roi {i}")
+        np.testing.assert_allclose(box_j[j], box_t[i], rtol=5e-3, atol=5e-3,
+                                   err_msg=f"bbox_pred at matched roi {i}")
+    # the keep sets must agree almost everywhere (fp can flip a borderline
+    # suppression decision for a tied pair, changing at most that pair)
+    assert n_matched >= k - 2, (n_matched, k)
+
+
+def test_target_pass_discriminator_parity(ref_and_ours, rng):
+    """Target-domain adversarial pass: d_instance/d_style probabilities
+    must match the reference (GRL forward is identity)."""
+    ref, model, params = ref_and_ours
+    im, im_info = _inputs(rng)
+    cfg_t = reference_cfg()
+    cfg_t.TRAIN.RPN_PRE_NMS_TOP_N = PRE
+    cfg_t.TRAIN.RPN_POST_NMS_TOP_N = POST
+    cfg_t.TRAIN.RPN_POST_NMS_TOP_N_TARGET = 16
+    cfg_t.TRAIN.RPN_NMS_THRESH = 0.7
+
+    ref.train()          # the reference's target pass runs in train mode
+    with torch.no_grad():
+        d_inst_t, d_style_t = ref(
+            torch.from_numpy(im.transpose(0, 3, 1, 2)),
+            torch.from_numpy(im_info),
+            torch.zeros(1, 1, 5), torch.zeros(1), target=True)
+    ref.eval()
+
+    ours_cfg = model.cfg.replace(
+        TRAIN=model.cfg.TRAIN.__class__(RPN_PRE_NMS_TOP_N=PRE,
+                                        RPN_POST_NMS_TOP_N=POST,
+                                        RPN_POST_NMS_TOP_N_TARGET=16,
+                                        RPN_NMS_THRESH=0.7))
+    model2 = FasterRCNN_DA(num_classes=len(CLASSES), cfg=ours_cfg,
+                           backbone="res50", ic=True, gc=True)
+    out = model2.apply({"params": params}, jnp.asarray(im),
+                       jnp.asarray(im_info), mode="target")
+    # d_style is image-level (no roi ordering): strict comparison
+    d_style_j = np.asarray(out["d_style"])
+    np.testing.assert_allclose(d_style_j, d_style_t.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    # d_instance is per-roi and the target keep ORDER is fp-tie-sensitive
+    # (see eval test): compare the sorted multiset of per-roi mean
+    # probabilities over the valid rois
+    d_inst_j = np.asarray(out["d_instance"])          # (R, 7, 7, 1)
+    valid = np.asarray(out["roi_valid"])
+    mean_j = np.sort(d_inst_j.mean(axis=(1, 2, 3))[valid])
+    d_t = d_inst_t.numpy()                            # (R, 1, 7, 7)
+    nz_t = np.abs(d_t - 0.5).mean(axis=(1, 2, 3)) > 1e-6
+    mean_t = np.sort(d_t.mean(axis=(1, 2, 3))[nz_t])
+    # fp ties can flip 1-2 borderline keeps between frameworks: two-pointer
+    # match the sorted multisets, requiring all but <=2 values to pair up
+    i = j = matched = 0
+    while i < len(mean_t) and j < len(mean_j):
+        if abs(mean_t[i] - mean_j[j]) <= 1e-3:
+            matched += 1
+            i += 1
+            j += 1
+        elif mean_t[i] < mean_j[j]:
+            i += 1
+        else:
+            j += 1
+    assert matched >= max(len(mean_t), len(mean_j)) - 2, (
+        matched, mean_t, mean_j)
+    assert matched >= 8

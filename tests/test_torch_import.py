@@ -58,7 +58,8 @@ def build_torch_trunk(depth):
     m.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
     m.bn1 = tnn.BatchNorm2d(64)
     m.relu = tnn.ReLU()
-    m.maxpool = tnn.MaxPool2d(3, 2, padding=1)
+    # caffe convention (the reference's '# change'): pad 0, ceil mode
+    m.maxpool = tnn.MaxPool2d(3, 2, padding=0, ceil_mode=True)
     m.layer1 = stage(64, 64, n1, 1)
     m.layer2 = stage(256, 128, n2, 2)
     m.layer3 = stage(512, 256, n3, 2)

@@ -102,6 +102,10 @@ class DetectionLoader:
         if training:
             roidb_sorted = [roidb[i] for i in ratio_index]
             self.entries = [e for e in roidb_sorted if not e.get("need_crop")]
+            # multi-host: each process loads its contiguous slice of the
+            # ratio-sorted roidb (no-op single-process)
+            from i2vsgg_tpu.parallel.mesh import host_shard
+            self.entries = host_shard(self.entries, batch_size)
         else:
             self.entries = list(roidb)
         self.prefetch = prefetch

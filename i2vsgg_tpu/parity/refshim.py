@@ -152,7 +152,8 @@ def install_reference_shims() -> None:
     ra.RoIAlignAvg = RoIAlignAvg
     ra.RoIAlign = RoIAlign
 
-    # ---- pure-torch max RoIPool ---------------------------------------
+    # ---- pure-torch max RoIPool (vectorized masked row/col max sweeps,
+    # the same separable formulation as i2vsgg_tpu/ops/roi_pool.py) -------
     class _RoIPooling(torch.nn.Module):
         def __init__(self, pooled_height, pooled_width, spatial_scale):
             super().__init__()
@@ -163,29 +164,42 @@ def install_reference_shims() -> None:
         def forward(self, features, rois):
             b, c, h, w = features.shape
             r = rois.shape[0]
-            out = features.new_zeros((r, c, self.ph, self.pw))
-            for n in range(r):
-                bi = int(rois[n, 0])
-                sw = int(torch.round(rois[n, 1] * self.scale))
-                sh = int(torch.round(rois[n, 2] * self.scale))
-                ew = int(torch.round(rois[n, 3] * self.scale))
-                eh = int(torch.round(rois[n, 4] * self.scale))
-                rw = max(ew - sw + 1, 1)
-                rh = max(eh - sh + 1, 1)
-                for p in range(self.ph):
-                    for q in range(self.pw):
-                        hs = int(np.clip(np.floor(p * rh / self.ph) + sh,
-                                         0, h))
-                        he = int(np.clip(np.ceil((p + 1) * rh / self.ph)
-                                         + sh, 0, h))
-                        ws_ = int(np.clip(np.floor(q * rw / self.pw) + sw,
-                                          0, w))
-                        we = int(np.clip(np.ceil((q + 1) * rw / self.pw)
-                                         + sw, 0, w))
-                        if he > hs and we > ws_:
-                            out[n, :, p, q] = features[
-                                bi, :, hs:he, ws_:we].amax(dim=(1, 2))
-            return out
+            ph, pw = self.ph, self.pw
+            neg = torch.finfo(features.dtype).min
+            start_w = torch.round(rois[:, 1] * self.scale).long()
+            start_h = torch.round(rois[:, 2] * self.scale).long()
+            end_w = torch.round(rois[:, 3] * self.scale).long()
+            end_h = torch.round(rois[:, 4] * self.scale).long()
+            rw = (end_w - start_w + 1).clamp(min=1)
+            rh = (end_h - start_h + 1).clamp(min=1)
+            p = torch.arange(ph)
+            q = torch.arange(pw)
+            hs = (torch.div(p[None] * rh[:, None], ph,
+                            rounding_mode="floor") + start_h[:, None]
+                  ).clamp(0, h)
+            he = (-torch.div(-(p[None] + 1) * rh[:, None], ph,
+                             rounding_mode="floor") + start_h[:, None]
+                  ).clamp(0, h)
+            ws_ = (torch.div(q[None] * rw[:, None], pw,
+                             rounding_mode="floor") + start_w[:, None]
+                   ).clamp(0, w)
+            we = (-torch.div(-(q[None] + 1) * rw[:, None], pw,
+                             rounding_mode="floor") + start_w[:, None]
+                  ).clamp(0, w)
+            hh = torch.arange(h)
+            ww = torch.arange(w)
+            row_m = (hh[None, None, :] >= hs[:, :, None]) & \
+                    (hh[None, None, :] < he[:, :, None])       # (R, PH, H)
+            col_m = (ww[None, None, :] >= ws_[:, :, None]) & \
+                    (ww[None, None, :] < we[:, :, None])       # (R, PW, W)
+            f = features[rois[:, 0].long()]                    # (R, C, H, W)
+            rows = torch.where(row_m[:, None, :, :, None], f[:, :, None],
+                               torch.tensor(neg)).amax(dim=3)  # (R,C,PH,W)
+            out = torch.where(col_m[:, None, None, :, :],
+                              rows[:, :, :, None, :],
+                              torch.tensor(neg)).amax(dim=4)   # (R,C,PH,PW)
+            empty = (he <= hs)[:, :, None] | (we <= ws_)[:, None, :]
+            return torch.where(empty[:, None], torch.tensor(0.0), out)
 
     rp = types.ModuleType("model.roi_pooling.modules.roi_pool")
     rp._RoIPooling = _RoIPooling

@@ -100,7 +100,8 @@ def _geom_relations(objs):
 
 def make_learnable_dataset(root, ds_name, n_images, ext=".jpg", seed=0,
                            hw=(240, 320), split_frac=0.75,
-                           index_fmt="im{:04d}", min_obj=2, max_obj=5):
+                           index_fmt="im{:04d}", min_obj=2, max_obj=5,
+                           size_range=(30, 90)):
     """A dataset a detector can actually LEARN: solid-color rectangles on a
     dark noisy background, class == color. Detection mAP and relation R@50
     on the held-out split are then meaningful quality signals for parity
@@ -118,8 +119,8 @@ def make_learnable_dataset(root, ds_name, n_images, ext=".jpg", seed=0,
         im = (rng.rand(h, w, 3) * 40).astype(np.uint8)      # dark noise bg
         objs = []
         for _ in range(rng.randint(min_obj, max_obj + 1)):
-            bw = rng.randint(30, 90)
-            bh = rng.randint(30, 90)
+            bw = rng.randint(*size_range)
+            bh = rng.randint(*size_range)
             x1 = rng.randint(0, w - bw)
             y1 = rng.randint(0, h - bh)
             ci = rng.randint(len(LEARNABLE_CLASSES))

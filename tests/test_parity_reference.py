@@ -82,6 +82,39 @@ def _inputs(rng):
     return im, im_info
 
 
+def test_shim_ops_match_oracles(rng):
+    """The shims the reference runs on must equal the tested op oracles."""
+    from tests.test_roi_ops import np_roi_pool
+    from i2vsgg_tpu.parity.refshim import install_reference_shims
+    install_reference_shims()
+    import sys
+    rp_mod = sys.modules["model.roi_pooling.modules.roi_pool"]
+    ra_mod = sys.modules["model.roi_align.modules.roi_align"]
+
+    feat = rng.randn(2, 15, 20, 8).astype(np.float32)
+    rois = np.zeros((10, 5), np.float32)
+    rois[:, 0] = rng.randint(0, 2, 10)
+    rois[:, 1] = rng.uniform(0, 250, 10)
+    rois[:, 2] = rng.uniform(0, 180, 10)
+    rois[:, 3] = rois[:, 1] + rng.uniform(16, 120, 10)
+    rois[:, 4] = rois[:, 2] + rng.uniform(16, 120, 10)
+
+    pool = rp_mod._RoIPooling(7, 7, 1 / 16.0)
+    got = pool(torch.from_numpy(feat.transpose(0, 3, 1, 2)),
+               torch.from_numpy(rois)).numpy().transpose(0, 2, 3, 1)
+    exp = np_roi_pool(feat, rois, 7, 1 / 16.0)
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    from i2vsgg_tpu.ops.roi_align import roi_align_avg_gather
+    align = ra_mod.RoIAlignAvg(7, 7, 1 / 16.0)
+    got_a = align(torch.from_numpy(feat.transpose(0, 3, 1, 2)),
+                  torch.from_numpy(rois)).numpy().transpose(0, 2, 3, 1)
+    exp_a = np.asarray(roi_align_avg_gather(jnp.asarray(feat),
+                                            jnp.asarray(rois), 7, 7,
+                                            1 / 16.0))
+    np.testing.assert_allclose(got_a, exp_a, rtol=1e-4, atol=1e-5)
+
+
 def test_eval_forward_full_parity(ref_and_ours, rng):
     ref, model, params = ref_and_ours
     im, im_info = _inputs(rng)

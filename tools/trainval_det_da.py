@@ -29,6 +29,9 @@ def main(argv=None):
     args = set_dataset_args(parse_args(argv))
 
     import jax
+    from i2vsgg_tpu.parallel.mesh import maybe_init_distributed
+    multihost = maybe_init_distributed()   # before any device use
+
     import jax.numpy as jnp
     from i2vsgg_tpu.config import Config, cfg_from_list
     from i2vsgg_tpu.data.pipeline import DetectionLoader
@@ -135,10 +138,15 @@ def main(argv=None):
         state = create_train_state(params, tx)
         print(f"backbone initialized from {args.pretrained_backbone}")
 
-    # data axis must divide the global batch; default to the largest
-    # device count that does
+    # data axis must divide the GLOBAL batch (per-host bs x processes);
+    # default to the largest device count that does
     import math
-    mesh = make_mesh(args.mesh or math.gcd(bs, len(jax.devices())))
+    global_bs = bs * jax.process_count()
+    mesh = make_mesh(args.mesh or math.gcd(global_bs, len(jax.devices())))
+    if multihost:
+        print(f"multi-host: {jax.process_count()} processes, "
+              f"{len(jax.devices())} global devices, "
+              f"global batch {global_bs}")
     state = replicate(state, mesh)
     train_step = make_train_step(model, tx, eta=args.eta,
                                  eta_style=args.eta_style,

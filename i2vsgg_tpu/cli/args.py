@@ -102,6 +102,15 @@ def parse_args(argv=None):
                    help="torch .pth (torchvision/caffe-converted layout) to "
                         "initialize the backbone from (reference: "
                         "cfg.RESNET_PATH, lib/model/utils/config.py:246-248)")
+    p.add_argument("--pretrained_full", action="store_true",
+                   help="with a jwyang-layout --pretrained_backbone: load "
+                        "EVERY matching tensor (skip the detector-init "
+                        "exclusion list; for parity experiments with a "
+                        "fully shared init)")
+    p.add_argument("--clip", default=-1.0, type=float,
+                   help="global-norm gradient clip (reference "
+                        "clip_gradient); -1 = auto (10 for vgg16, off "
+                        "otherwise)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
     p.add_argument("--max_steps", default=0, type=int,

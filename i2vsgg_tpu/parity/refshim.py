@@ -211,11 +211,45 @@ def install_reference_shims() -> None:
     rc = types.ModuleType("model.roi_crop.modules.roi_crop")
     rc._RoICrop = _RoICrop
 
+    # ---- model.roi_layers (detectron2-style bindings over missing
+    # model._C, SURVEY.md §8.8) — ROIPool is the only op on live SGG paths
+    # (resnet_SGG_emb.py:82); ROIAlign raises if something dead-code ever
+    # calls it ---------------------------------------------------------
+    class ROIPool(torch.nn.Module):
+        def __init__(self, output_size, spatial_scale):
+            super().__init__()
+            ph, pw = output_size
+            self._impl = _RoIPooling(ph, pw, spatial_scale)
+
+        def forward(self, features, rois):
+            return self._impl(features, rois)
+
+    class ROIAlignLayer(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, *a, **k):
+            raise NotImplementedError(
+                "roi_layers.ROIAlign is not on a live reference path")
+
+    rl = types.ModuleType("model.roi_layers")
+    rl.__path__ = [os.path.join(lib, "model", "roi_layers")]
+    rl.ROIPool = ROIPool
+    rl.ROIAlign = ROIAlignLayer
+
+    def _nms_shim(dets, scores, thresh):
+        from model.nms.nms_cpu import nms_cpu
+        d = torch.cat([dets, scores[:, None]], dim=1)
+        return torch.from_numpy(np.asarray(nms_cpu(d, thresh)))
+
+    rl.nms = _nms_shim
+
     # parent packages must exist as (namespace) modules for the dotted
     # imports to resolve to our leaves
     for name, leaf in [("model.roi_align.modules.roi_align", ra),
                        ("model.roi_pooling.modules.roi_pool", rp),
-                       ("model.roi_crop.modules.roi_crop", rc)]:
+                       ("model.roi_crop.modules.roi_crop", rc),
+                       ("model.roi_layers", rl)]:
         parts = name.split(".")
         for i in range(1, len(parts)):
             pkg = ".".join(parts[:i])
@@ -242,6 +276,15 @@ def _patch_torch2_compat():
                          int(float(s[1] * s[2]) / float(d)), s[3])
 
     rpn_mod._RPN.reshape = staticmethod(_reshape)
+
+
+def patch_cuda_noop():
+    """Make ``.cuda()`` a no-op: the reference's SGG code calls it
+    unconditionally (``resnet_SGG_emb.py:130-142``); CPU-only parity runs
+    keep everything on host."""
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
 
 
 def reference_cfg():

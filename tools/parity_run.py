@@ -33,10 +33,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 # hyperparameters shared by both arms (reference scripts' Stage-A recipe,
-# scaled to the synthetic set: anchors that fit 30-90 px objects, 240-px
-# images, no pretrained init available in-image)
-HP = dict(lr=1e-3, momentum=0.9, weight_decay=1e-4, double_bias=1,
-          eta=0.1, eta_style=0.001, style_lambda=1.0, cr=False,
+# scaled to the synthetic set: anchors that fit 50-110 px objects, 240-px
+# images). No pretrained weights exist in-image, so BOTH arms start from
+# the SAME random torch init (exported once, imported into ours via the
+# value-parity-tested jwyang map) and clip gradients at 10 (from-scratch
+# res50 at pixel scale explodes by step 3 otherwise — in both frameworks).
+HP = dict(lr=5e-4, momentum=0.9, weight_decay=1e-4, double_bias=1,
+          eta=0.1, eta_style=0.001, style_lambda=1.0, cr=False, clip=10.0,
           scales=240, anchor_scales=[2, 4, 8], bs=1, depth=50)
 CFG_OVERRIDES = ["ANCHOR_SCALES", "[2, 4, 8]",
                  "TRAIN.SCALES", "[240]", "TEST.SCALES", "[240]",
@@ -60,6 +63,13 @@ def make_data(root, n_source=48, n_target=24, seed=0):
     make_learnable_dataset(root, "MVidVRD", n_target, ".png", seed=seed + 1,
                            index_fmt="vid00_{:04d}",
                            min_obj=1, max_obj=3, size_range=(50, 110))
+    # so-prior pickle (the reference vrd module loads it at __init__)
+    import pickle
+    prior = np.random.RandomState(9).dirichlet(np.ones(N_REL),
+                                               size=(15, 15))
+    with open(os.path.join(root, "MVidVRD", "source_so_prior.pkl"),
+              "wb") as f:
+        pickle.dump(prior, f)
     return root
 
 
@@ -77,6 +87,34 @@ def _our_cfg():
     from i2vsgg_tpu.config import Config, cfg_from_list
     return cfg_from_list(list(CFG_OVERRIDES), Config()).replace(
         COMPUTE_DTYPE="float32")
+
+
+def shared_init(data_root, out_dir, seed=0):
+    """Build the reference model once and export its random init as the
+    SHARED starting point for both arms. Returns the .pth path."""
+    import torch
+    path = os.path.join(out_dir, "shared_init.pth")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    from i2vsgg_tpu.parity.refshim import build_reference_detector
+    torch.manual_seed(seed)
+    cfg = _our_cfg()
+    imdb_s, _, _ = _loaders(cfg, HP["bs"])
+    ref = build_reference_detector(tuple(imdb_s.classes),
+                                   depth=HP["depth"], ic=True, gc=True)
+    # zero-init-residual: with FROZEN identity BN, kaiming-init residual
+    # blocks double the activation variance per block (2^16 over res50) and
+    # step-1 gradients overflow fp32 in BOTH frameworks. The reference only
+    # ever trains from COCO-pretrained weights; from scratch, zeroing each
+    # block's last BN scale (bn3) makes blocks start as identity — the
+    # standard from-scratch ResNet recipe, applied to the SHARED init.
+    with torch.no_grad():
+        for name, m in ref.named_modules():
+            if name.endswith("bn3"):
+                m.weight.zero_()
+    torch.save(ref.state_dict(), path)
+    return path
 
 
 def train_reference(data_root, out_dir, steps, seed=0):
@@ -103,6 +141,8 @@ def train_reference(data_root, out_dir, steps, seed=0):
     # the 8 learnable classes appear in the data)
     ref = build_reference_detector(tuple(imdb_s.classes),
                                    depth=HP["depth"], ic=True, gc=True)
+    ref.load_state_dict(torch.load(shared_init(data_root, out_dir),
+                                   weights_only=True))
     ref.train()
 
     # reference optimizer: per-param groups, double-lr zero-decay biases
@@ -151,6 +191,16 @@ def train_reference(data_root, out_dir, steps, seed=0):
                 dloss_s_style + dloss_t_style)
             opt.zero_grad()
             loss.backward()
+            # reference clip_gradient semantics (net_utils.py:88-99):
+            # scale all grads by clip/max(total_norm, clip)
+            total = 0.0
+            for p_ in ref.parameters():
+                if p_.requires_grad and p_.grad is not None:
+                    total += float(p_.grad.norm()) ** 2
+            scale = HP["clip"] / max(total ** 0.5, HP["clip"])
+            for p_ in ref.parameters():
+                if p_.requires_grad and p_.grad is not None:
+                    p_.grad.mul_(scale)
             opt.step()
             step += 1
             if step % 20 == 0:
@@ -193,6 +243,7 @@ def save_converted(sd, imdb, out_dir, tag, step):
 
 def train_ours(data_root, out_dir, steps, seed=0):
     from tools.trainval_det_da import main as train_main
+    init_pth = shared_init(data_root, out_dir, seed)
     epochs = max(1, -(-steps // 36))      # 36 source batches/epoch at bs 1
     state = train_main([
         "--dataset", "MVRD", "--dataset_t", "MVidVRD",
@@ -201,6 +252,8 @@ def train_ours(data_root, out_dir, steps, seed=0):
         "--lr", str(HP["lr"]), "--eta", str(HP["eta"]),
         "--eta_style", str(HP["eta_style"]),
         "--style_lambda", str(HP["style_lambda"]),
+        "--clip", str(HP["clip"]),
+        "--pretrained_backbone", init_pth, "--pretrained_full",
         "--ic", "--gc", "--compute_dtype", "float32",
         "--disp_interval", "20", "--s", "901",
         "--save_dir", out_dir, "--cfg"] + CFG_OVERRIDES)
@@ -219,12 +272,252 @@ def eval_det(ckpt, out_dir, dataset="MVRD"):
     return float(aps["mAP"])
 
 
+# ---------------------------------------------------------------------------
+# Stage B: relation (vrd) head parity — both arms train their vrd head on
+# the SAME frozen shared-init trunk and are scored with the same
+# predicate-classification metrics (top-1 accuracy + per-predicate AP) on
+# the held-out split's GT pairs.
+# ---------------------------------------------------------------------------
+
+N_REL = 5                      # geometry predicates (tests.fixtures)
+
+
+def _prd_vecs():
+    return np.random.RandomState(0).randn(N_REL, 300).astype(np.float32)
+
+
+def _pairs_of(rels):
+    """Reference pair dedup: unique ordered pairs, multi-label targets.
+    [faster_rcnn_SGG_emb.py:184-237]"""
+    pairs, labels = [], []
+    for s, p, o in rels:
+        if (s, o) not in pairs:
+            pairs.append((s, o))
+            labels.append(np.zeros(N_REL, np.float32))
+        labels[pairs.index((s, o))][p] = 1.0
+    return pairs, labels
+
+
+def _stage_b_data(split):
+    """(index, image(H,W,3) float BGR prepped, scale, boxes, classes,
+    pairs, labels) per image of a split."""
+    import pickle
+    from i2vsgg_tpu.data.roidb import combined_roidb
+    from i2vsgg_tpu.data.pipeline import imread_bgr, prep_image
+    cfg = _our_cfg()
+    imdb, roidb, _, _ = combined_roidb(f"MVRD_{split}", use_flipped=False)
+    with open(os.path.join(os.environ["I2VSGG_DATA_ROOT"], "MVRD",
+                           "source_gt_rels.pkl"), "rb") as f:
+        gt_rels = pickle.load(f)
+    out = []
+    for e in roidb:
+        index = os.path.splitext(os.path.basename(e["image"]))[0]
+        im, scale = prep_image(imread_bgr(e["image"]), 240, cfg.PIXEL_MEANS)
+        pairs, labels = _pairs_of(gt_rels.get(index, []))
+        if not pairs:
+            continue
+        out.append((index, im, scale, e["boxes"] * scale,
+                    e["gt_classes"], pairs, labels))
+    return out
+
+
+def train_reference_sgg(data_root, out_dir, steps, seed=0):
+    """Train the reference vrd module on CPU over the shared frozen trunk;
+    return a score_fn(image, scale, boxes) -> (P, n_rel) softmax scores."""
+    import torch
+    import types as _types
+    from i2vsgg_tpu.parity.refshim import (install_reference_shims,
+                                           build_reference_detector,
+                                           patch_cuda_noop)
+    install_reference_shims()
+    patch_cuda_noop()
+    from model.faster_rcnn.resnet_SGG_emb import vrd as VRD
+
+    torch.manual_seed(seed + 5)
+    det = build_reference_detector(
+        tuple(_loaders(_our_cfg(), 1)[0].classes), depth=HP["depth"],
+        ic=True, gc=True)
+    det.load_state_dict(torch.load(shared_init(data_root, out_dir),
+                                   weights_only=True))
+    trunk = det.RCNN_base.eval()
+    for p in trunk.parameters():
+        p.requires_grad_(False)
+
+    vargs = _types.SimpleNamespace(
+        num_relations=N_REL, num_classes=16, emb_dim=300,
+        use_obj_visual=True, spatial_type=2,
+        source_so_prior_path=os.path.join(data_root, "MVidVRD",
+                                          "source_so_prior.pkl"),
+        source_gt_rels_path=os.path.join(data_root, "MVRD",
+                                         "source_gt_rels.pkl"),
+        target_gt_rels_path=os.path.join(data_root, "MVidVRD",
+                                         "source_gt_rels.pkl"))
+    obj_vecs = np.zeros((16, 300), np.float32)
+    head = VRD(vargs, all_obj_vecs=obj_vecs, all_prd_vecs=_prd_vecs())
+    head.train()
+    opt = torch.optim.SGD(head.parameters(), lr=1e-3,
+                          momentum=HP["momentum"])
+
+    data = _stage_b_data("trainval")
+    fmaps = {}
+
+    def fmap_of(index, im):
+        if index not in fmaps:
+            with torch.no_grad():
+                t = torch.from_numpy(
+                    im.transpose(2, 0, 1)[None].astype(np.float32))
+                fmaps[index] = trunk(t).numpy()
+        return fmaps[index]
+
+    def build_inputs(im, scale, boxes, pairs):
+        ih, iw = im.shape[:2]
+        n = len(pairs)
+        rel_boxes = np.zeros((n, 5))
+        spatial = np.zeros((n, 2, 32, 32))
+        for ii, (s, o) in enumerate(pairs):
+            rel_boxes[ii, 1:5] = head._getUnionBBox(boxes[s], boxes[o],
+                                                    ih, iw)
+            spatial[ii] = [head._getDualMask(ih, iw, boxes[s]),
+                           head._getDualMask(ih, iw, boxes[o])]
+        b5 = np.zeros((len(boxes), 5), np.float32)
+        b5[:, 1:5] = boxes
+        ixs = np.asarray([p[0] for p in pairs])
+        ixo = np.asarray([p[1] for p in pairs])
+        return b5, rel_boxes, spatial, ixs, ixo
+
+    step = t0 = 0
+    t0 = time.time()
+    while step < steps:
+        for index, im, scale, boxes, classes, pairs, labels in data:
+            fmap = fmap_of(index, im)
+            b5, rb, sp, ixs, ixo = build_inputs(im, scale, boxes, pairs)
+            scores, _ = head(fmap, b5, rb, sp, classes, ixs, ixo)
+            target = torch.from_numpy(np.stack(labels).astype(np.float32))
+            loss = head.criterion(scores, target)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            step += 1
+            if step % 50 == 0:
+                print(f"[ref-sgg {step:4d}/{steps}] loss {float(loss):.4f} "
+                      f"({(time.time() - t0) / step:.2f}s/step)", flush=True)
+            if step >= steps:
+                break
+
+    head.eval()
+
+    def score_fn(index, im, scale, boxes, pairs):
+        fmap = fmap_of(index, im)
+        b5, rb, sp, ixs, ixo = build_inputs(im, scale, boxes, pairs)
+        with torch.no_grad():
+            s, _ = head(fmap, b5, rb, sp,
+                        np.zeros(len(boxes)), ixs, ixo)
+        return s.numpy()
+
+    return score_fn
+
+
+def train_ours_sgg(data_root, out_dir, steps, seed=0):
+    """Train our SGG head from the shared trunk via the normal driver;
+    return a score_fn like train_reference_sgg's."""
+    import jax
+    import jax.numpy as jnp
+    from tools.trainval_sgg import main as sgg_main
+    from i2vsgg_tpu.models.backbones import ResNetTrunk
+    from i2vsgg_tpu.models.sgg import SGGModel, VRDHead
+    from i2vsgg_tpu.train.checkpoint import latest_step, restore_intersection
+
+    # Stage-A-format checkpoint of the shared init (trunk source)
+    import torch
+    sd = torch.load(shared_init(data_root, out_dir), weights_only=True)
+    imdb_s, _, _ = _loaders(_our_cfg(), 1)
+    det_ckpt = save_converted(sd, imdb_s, out_dir, "shared", 0)
+
+    epochs = max(1, -(-steps // 36))
+    sgg_main([
+        "--dataset", "MVRD", "--net", f"res{HP['depth']}", "--bs", "1",
+        "--epochs", str(epochs), "--max_steps", str(steps),
+        "--vrd_lr", "1e-3", "--num_relations", str(N_REL),
+        "--source_gt_rels_path",
+        os.path.join(data_root, "MVRD", "source_gt_rels.pkl"),
+        "--compute_dtype", "float32", "--disp_interval", "50", "--s", "903",
+        "--save_dir", out_dir, "--load_name", det_ckpt,
+        "--cfg"] + CFG_OVERRIDES)
+
+    ckpt_dir = os.path.join(out_dir, f"res{HP['depth']}", "MVRD_SGG",
+                            "session_903")
+    step = latest_step(ckpt_dir)
+    cfg = _our_cfg()
+    model = SGGModel(trunk=ResNetTrunk(depth=HP["depth"],
+                                       dtype=jnp.float32),
+                     vrd=VRDHead(), n_rel=N_REL)
+    prd = jnp.asarray(_prd_vecs())
+
+    def init_params(n_pairs):
+        z = jnp.zeros
+        return model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            z((1, 240, 320, 3)), jnp.asarray([240.0, 320, 1.0]),
+            z((4, 4)), z((4,), jnp.int32), z((n_pairs,), jnp.int32),
+            z((n_pairs,), jnp.int32), z((n_pairs,), bool), prd)["params"]
+
+    params = restore_intersection(ckpt_dir, step, init_params(4))
+
+    def score_fn(index, im, scale, boxes, pairs):
+        ix1 = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        ix2 = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        h, w = im.shape[:2]
+        out = model.apply(
+            {"params": params}, jnp.asarray(im[None].astype(np.float32)),
+            jnp.asarray([float(h), float(w), 1.0]),
+            jnp.asarray(boxes.astype(np.float32)),
+            jnp.zeros((len(boxes),), jnp.int32), ix1, ix2,
+            jnp.ones((len(pairs),), bool), prd)
+        return np.asarray(jax.nn.softmax(out["scores"], -1))
+
+    return score_fn
+
+
+def eval_sgg(score_fn):
+    """Predicate top-1 accuracy + per-predicate AP over test-split GT
+    pairs (the still-image analogue of relation recognition quality)."""
+    data = _stage_b_data("test")
+    correct = total = 0
+    scores_all, labels_all = [], []
+    for index, im, scale, boxes, classes, pairs, labels in data:
+        s = score_fn(index, im, scale, boxes, pairs)
+        for ii, lab in enumerate(labels):
+            total += 1
+            if lab[int(np.argmax(s[ii]))] > 0:
+                correct += 1
+            scores_all.append(s[ii])
+            labels_all.append(lab)
+    scores_all = np.stack(scores_all)
+    labels_all = np.stack(labels_all)
+    aps = []
+    for r in range(N_REL):
+        lab = labels_all[:, r]
+        if lab.sum() == 0:
+            continue
+        order = np.argsort(-scores_all[:, r])
+        tp = lab[order]
+        rec = np.cumsum(tp) / lab.sum()
+        prec = np.cumsum(tp) / (np.arange(len(tp)) + 1)
+        aps.append(float(np.sum((rec[1:] - rec[:-1]) * prec[1:])
+                         + rec[0] * prec[0]))
+    return {"top1_acc": correct / max(total, 1),
+            "pred_mAP": float(np.mean(aps)) if aps else 0.0,
+            "n_pairs": total}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/parity")
     ap.add_argument("--data", default="")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--arm", default="both", choices=("ours", "ref", "both"))
+    ap.add_argument("--stage", default="a", choices=("a", "b", "ab"))
     args = ap.parse_args(argv)
 
     if os.environ.get("I2VSGG_PARITY_TPU") != "1":
@@ -239,24 +532,45 @@ def main(argv=None):
     os.environ["I2VSGG_DATA_ROOT"] = data_root
 
     results = {}
-    if args.arm in ("ours", "both"):
-        t0 = time.time()
-        ckpt = train_ours(data_root, args.out, args.steps)
-        results["ours_train_s"] = round(time.time() - t0, 1)
-        results["ours_mAP"] = eval_det(ckpt, args.out)
-        print(f"OURS mAP: {results['ours_mAP']:.4f}")
-    if args.arm in ("ref", "both"):
-        t0 = time.time()
-        ckpt = train_reference(data_root, args.out, args.steps)
-        results["ref_train_s"] = round(time.time() - t0, 1)
-        results["ref_mAP"] = eval_det(ckpt, args.out)
-        print(f"REFERENCE mAP: {results['ref_mAP']:.4f}")
+    if args.stage in ("a", "ab"):
+        if args.arm in ("ours", "both"):
+            t0 = time.time()
+            ckpt = train_ours(data_root, args.out, args.steps)
+            results["ours_train_s"] = round(time.time() - t0, 1)
+            results["ours_mAP"] = eval_det(ckpt, args.out)
+            print(f"OURS mAP: {results['ours_mAP']:.4f}")
+        if args.arm in ("ref", "both"):
+            t0 = time.time()
+            ckpt = train_reference(data_root, args.out, args.steps)
+            results["ref_train_s"] = round(time.time() - t0, 1)
+            results["ref_mAP"] = eval_det(ckpt, args.out)
+            print(f"REFERENCE mAP: {results['ref_mAP']:.4f}")
+    if args.stage in ("b", "ab"):
+        if args.arm in ("ours", "both"):
+            t0 = time.time()
+            fn = train_ours_sgg(data_root, args.out, args.steps)
+            m = eval_sgg(fn)
+            results["ours_sgg_train_s"] = round(time.time() - t0, 1)
+            results["ours_sgg"] = m
+            print(f"OURS sgg: {m}")
+        if args.arm in ("ref", "both"):
+            t0 = time.time()
+            fn = train_reference_sgg(data_root, args.out, args.steps)
+            m = eval_sgg(fn)
+            results["ref_sgg_train_s"] = round(time.time() - t0, 1)
+            results["ref_sgg"] = m
+            print(f"REFERENCE sgg: {m}")
 
     results["steps"] = args.steps
-    path = os.path.join(args.out, "parity_det.json")
     os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, f"parity_{args.stage}.json")
+    prev = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+    prev.update(results)
     with open(path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(prev, f, indent=1)
     print(json.dumps(results))
     return results
 

@@ -86,9 +86,11 @@ def main(argv=None):
     schedule = step_decay_schedule(args.lr, args.lr_decay_step,
                                    args.lr_decay_gamma, steps_per_epoch)
     # the reference clips gradients at 10 for the VGG16 backbone
-    # [trainval_net_instance_styleD_bilinear.py clip_gradient call]
-    tx = sgd_reference(schedule, cfg,
-                       clip_norm=10.0 if args.net == "vgg16" else 0.0)
+    # [trainval_net_instance_styleD_bilinear.py clip_gradient call];
+    # --clip overrides (e.g. from-scratch runs need it on resnets too)
+    clip = args.clip if args.clip >= 0 else (
+        10.0 if args.net == "vgg16" else 0.0)
+    tx = sgd_reference(schedule, cfg, clip_norm=clip)
     state = create_train_state(params, tx)
 
     ckpt_dir = os.path.join(args.save_dir, args.net, args.dataset,
@@ -119,10 +121,11 @@ def main(argv=None):
             # then drop the reference's exclusion list so the class heads
             # and netD_pixel re-init for the new run
             imported = jwyang_detector_params(sd, int(args.net[3:]))
-            for tag in DETECTOR_INIT_EXCLUDE:
-                imported.pop(tag, None)
-                if "rpn" in imported:
-                    imported["rpn"].pop(tag, None)
+            if not args.pretrained_full:
+                for tag in DETECTOR_INIT_EXCLUDE:
+                    imported.pop(tag, None)
+                    if "rpn" in imported:
+                        imported["rpn"].pop(tag, None)
             # shape-mismatched leaves (e.g. COCO 81-way vs our class count)
             # would raise in merge_imported; they were popped above
             params = merge_imported(params, imported)

@@ -99,6 +99,24 @@ class Conv1S2D(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class Conv1x1AsMatmul(nn.Module):
+    """1x1 stride-1 conv as an explicit (R*HW, C) @ (C, F) matmul for tiny
+    spatial grids — the flattened NHWC view is free, and the GEMM shape is
+    perfect (two conv rewrites of the 3x3 measured SLOWER; see PERF.md).
+    Same 'kernel' param shape/name as nn.Conv for checkpoint parity."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        r, h, w, c = x.shape
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, c, self.features))
+        out = (x.reshape(r * h * w, c)
+               @ k.reshape(c, self.features).astype(self.dtype))
+        return out.reshape(r, h, w, self.features)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -107,9 +125,14 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = lambda f, k, s, name: nn.Conv(
-            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
-            use_bias=False, dtype=self.dtype, name=name)
+        small = x.shape[1] * x.shape[2] <= 64     # per-roi head grids
+
+        def conv(f, k, s, name):
+            if small and k == 1 and s == 1:
+                return Conv1x1AsMatmul(f, dtype=self.dtype, name=name)
+            return nn.Conv(
+                f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+                use_bias=False, dtype=self.dtype, name=name)
         residual = x
         # caffe convention: stride on the first 1x1 conv
         out = conv(self.planes, 1, self.stride, "conv1")(x)

@@ -203,6 +203,12 @@ def train_reference(data_root, out_dir, steps, seed=0):
                     p_.grad.mul_(scale)
             opt.step()
             step += 1
+            # reference practice: lr x0.1 at epoch lr_decay_step(=5) —
+            # adjust_learning_rate in the reference driver; both arms decay
+            # at the same step boundary (36 steps/epoch)
+            if step == 5 * 36:
+                for g in opt.param_groups:
+                    g["lr"] *= 0.1
             if step % 20 == 0:
                 print(f"[ref {step:4d}/{steps}] loss {float(loss):.4f} "
                       f"({(time.time() - t0) / step:.2f}s/step)", flush=True)

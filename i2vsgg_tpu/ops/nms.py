@@ -121,8 +121,13 @@ def nms_indices_unsorted(boxes: jnp.ndarray, scores: jnp.ndarray, thresh,
         (scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
     supp = ((iou > thresh) & beats).astype(jnp.float32)
     k = _supp_fixpoint(supp, alive, n)
-    top_scores, top_idx = jax.lax.top_k(jnp.where(k, scores, NEG_INF),
-                                        max_out)
+    kk = min(max_out, n)
+    top_scores, top_idx = jax.lax.top_k(jnp.where(k, scores, NEG_INF), kk)
+    if kk < max_out:                     # pad when max_out exceeds n
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((max_out - kk,), NEG_INF)])
+        top_idx = jnp.concatenate(
+            [top_idx, jnp.zeros((max_out - kk,), top_idx.dtype)])
     kv = top_scores > NEG_INF / 2
     return jnp.where(kv, top_idx.astype(jnp.int32), -1), kv
 
@@ -198,8 +203,12 @@ def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, thresh,
         # no fori_loop / dynamic-slice / scatter-append machinery
         k = _chunk_fixpoint_keep(sboxes, alive, thresh)
         pos = jnp.where(k, jnp.arange(n + pad), n + pad)
-        kept_pos, _ = jax.lax.top_k(-(pos.astype(jnp.int32)), max_out)
+        kk = min(max_out, n + pad)
+        kept_pos, _ = jax.lax.top_k(-(pos.astype(jnp.int32)), kk)
         kept_pos = -kept_pos
+        if kk < max_out:
+            kept_pos = jnp.concatenate(
+                [kept_pos, jnp.full((max_out - kk,), n + pad, jnp.int32)])
         kept_mask = kept_pos < n + pad
         kept_pos = jnp.minimum(kept_pos, n - 1)
     else:

@@ -162,6 +162,20 @@ def test_sortfree_matches_sorted(rng):
                                       err_msg=f"trial {trial}")
 
 
+def test_sortfree_max_out_exceeds_n(rng):
+    """max_out > n must pad (the eval drivers cap detections above the
+    proposal count on tiny configs)."""
+    import jax.numpy as jnp
+    from i2vsgg_tpu.ops.nms import nms_indices, nms_indices_unsorted
+    dets = rand_dets(rng, 16)
+    k1, v1 = nms_indices(jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]),
+                         0.5, max_out=20)
+    k2, v2 = nms_indices_unsorted(jnp.asarray(dets[:, :4]),
+                                  jnp.asarray(dets[:, 4]), 0.5, max_out=20)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
 def test_sortfree_tie_break(rng):
     """Identical scores: ties resolve by lower index first (stable-sort
     semantics), matching nms_indices."""

@@ -189,12 +189,15 @@ def roi_align_avg(features: jnp.ndarray, rois: jnp.ndarray,
         rx = rx[:, sel]
         ph = pw = len(grid)
 
-    # NOTE: a Pallas variant exists (ops/pallas/roi_align_kernel.py) but is
-    # NOT dispatched: Mosaic rejects the in-kernel (r*p, h) shape casts the
-    # stacked-dot formulation needs (non-128 minor dims), and the 2D-only
-    # restructurings reintroduce the relayouts this formulation avoids.
-    # The einsum path below measures equal end-to-end (172.9 fps fused
-    # bench with/without), so it stays the production path.
+    # NOTE: a Pallas variant exists (ops/pallas/roi_align_kernel.py — the
+    # round-2 rewrite pre-stacks PS=8 row weights and tiles channels, which
+    # lifts the earlier Mosaic shape-cast limitation) but it is NOT
+    # dispatched: it measured ~2x SLOWER than this einsum pair at every
+    # (r_tile, c_tile) tried. The first contraction's K=H(~38) is too
+    # skinny for the MXU in the kernel's factorization (~15% util ceiling),
+    # while XLA fuses the einsum pair with no HBM intermediate at the same
+    # compute limit (PERF.md round-2 negative results). Einsums stay the
+    # production path.
 
     ry_g = ry.reshape(b, n, ph, h)
     rx_g = rx.reshape(b, n, pw, w)

@@ -43,9 +43,25 @@ def maybe_init_distributed() -> bool:
     if nproc <= 1:
         return False
     pid = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    global _DISTRIBUTED_UP
+    if _DISTRIBUTED_UP:          # second call in-process would RuntimeError
+        return True
     jax.distributed.initialize(coordinator_address=coord,
                                num_processes=nproc, process_id=pid)
+    _DISTRIBUTED_UP = True
     return True
+
+
+_DISTRIBUTED_UP = False
+
+
+def sync_global_devices(tag: str) -> None:
+    """Cross-process barrier (e.g. after process-0-only checkpoint writes).
+    No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
 
 
 def host_shard(entries: Sequence, batch_size: int):

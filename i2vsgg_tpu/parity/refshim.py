@@ -83,8 +83,52 @@ def install_reference_shims() -> None:
         sys.modules["torchvision.models"] = tvm
 
     # ---- pure-torch RoIAlign (single-tap reference semantics) ---------
+    def _axis_weights(lo, bins, n_out, size, dtype):
+        """Per-roi 1-D bilinear interpolation matrices (R, n_out, size):
+        row ph holds (1-frac) at min(floor(pos), size-2) and frac at the
+        next cell, zeroed when pos is outside [0, size) — exactly the
+        per-axis factor of the kernel's single bilinear tap."""
+        pos = (torch.arange(n_out, dtype=dtype)[None, :] * bins[:, None]
+               + lo[:, None])                                    # (R, n_out)
+        inside = ((pos >= 0) & (pos < size)).to(dtype)
+        start = torch.minimum(torch.floor(pos),
+                              torch.tensor(size - 2.0, dtype=dtype))
+        frac = pos - start
+        idx = start.long().clamp(0, size - 2)
+        wm = torch.zeros(lo.shape[0], n_out, size, dtype=dtype)
+        wm.scatter_(2, idx[:, :, None], ((1 - frac) * inside)[:, :, None])
+        wm.scatter_add_(2, (idx + 1)[:, :, None],
+                        (frac * inside)[:, :, None])
+        return wm
+
     def roi_align_forward(features, rois, ah, aw, scale):
-        """features (B, C, H, W), rois (R, 5) -> (R, C, ah, aw)."""
+        """features (B, C, H, W), rois (R, 5) -> (R, C, ah, aw).
+
+        Separable formulation: out[r] = Wy[r] @ f[bi_r] @ Wx[r]^T — the
+        bilinear tap factorizes exactly into per-axis weights, so this is
+        the same math as the gather form (roi_align_forward_gather below)
+        at ~100x less memory traffic, which is what makes CPU parity
+        training runs affordable (equivalence-tested)."""
+        b, c, h, w = features.shape
+        dt = features.dtype
+        bi = rois[:, 0].long()
+        x1 = rois[:, 1] * scale
+        y1 = rois[:, 2] * scale
+        bin_w = (rois[:, 3] * scale - x1 + 1.0).clamp(min=0) / (aw - 1.0)
+        bin_h = (rois[:, 4] * scale - y1 + 1.0).clamp(min=0) / (ah - 1.0)
+        wy = _axis_weights(y1, bin_h, ah, h, dt)                 # (R,AH,H)
+        wx = _axis_weights(x1, bin_w, aw, w, dt)                 # (R,AW,W)
+        outs = torch.empty(rois.shape[0], c, ah, aw, dtype=dt)
+        for img in torch.unique(bi):                     # B is 1-2 here
+            sel = bi == img
+            f = features[img]                                    # (C,H,W)
+            t = torch.einsum("rph,chw->rcpw", wy[sel], f)
+            outs[sel] = torch.einsum("rcpw,rqw->rcpq", t, wx[sel])
+        return outs
+
+    def roi_align_forward_gather(features, rois, ah, aw, scale):
+        """The direct (gather) form of the same kernel math; kept as the
+        equivalence oracle for roi_align_forward (tests/test_refshim_ops)."""
         b, c, h, w = features.shape
         r = rois.shape[0]
         bi = rois[:, 0].long()
@@ -151,6 +195,8 @@ def install_reference_shims() -> None:
     ra = types.ModuleType("model.roi_align.modules.roi_align")
     ra.RoIAlignAvg = RoIAlignAvg
     ra.RoIAlign = RoIAlign
+    ra.roi_align_forward = roi_align_forward
+    ra.roi_align_forward_gather = roi_align_forward_gather
 
     # ---- pure-torch max RoIPool (vectorized masked row/col max sweeps,
     # the same separable formulation as i2vsgg_tpu/ops/roi_pool.py) -------

@@ -49,6 +49,13 @@ def _ckpt_path(ckpt_dir: str, step: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
 
 
+def _is_step_dir(name: str) -> bool:
+    """Exactly ``step_<digits>`` — stray entries like ``step_7.bak`` must
+    not crash GC / latest-step discovery."""
+    parts = name.split("_")
+    return len(parts) == 2 and parts[0] == "step" and parts[1].isdigit()
+
+
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
                     metadata: Optional[Dict[str, Any]] = None,
                     keep_last: Optional[int] = None,
@@ -108,7 +115,7 @@ def gc_checkpoints(ckpt_dir: str, keep_last: int) -> None:
     if not os.path.isdir(ckpt_dir):
         return
     steps = sorted(int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
-                   if d.startswith("step_"))
+                   if _is_step_dir(d))
     best = best_checkpoint(ckpt_dir)
     keep = set(steps[-keep_last:]) if keep_last > 0 else set()
     if best is not None:
@@ -122,7 +129,7 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
     steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
-             if d.startswith("step_")]
+             if _is_step_dir(d)]
     return max(steps) if steps else None
 
 

@@ -146,6 +146,124 @@ def make_learnable_dataset(root, ds_name, n_images, ext=".jpg", seed=0,
     return annos, gt_rels
 
 
+def make_learnable_video_dataset(root, ds_name, n_videos=20, n_frames=24,
+                                 ext=".png", seed=0, hw=(240, 320),
+                                 split_frac=0.5, min_obj=2, max_obj=3,
+                                 size_range=(50, 110), max_speed=3,
+                                 min_gt_len=10):
+    """Learnable VIDEOS: the same solid-color rectangles as
+    make_learnable_dataset, but moving with constant per-object velocity
+    (bouncing off walls) across ``n_frames`` frames. Produces:
+
+    * VOC-layout frames named ``vid{v:02d}_{f:04d}`` (per-frame detection
+      GT — usable as a Stage-A target domain),
+    * per-frame geometry relations (``source_gt_rels.pkl`` schema),
+    * video-level relation GT in the ``evaluate()`` schema
+      (``lib/utils.py:375-458``): maximal constant runs of each
+      (subject, predicate, object) lasting >= ``min_gt_len`` frames become
+      GT trajectories -> ``video_annotations_test.json`` (held-out videos)
+      and ``video_annotations_trainval.json``.
+
+    Splits are BY VIDEO (first ``split_frac`` of videos = trainval).
+    Returns (annos, gt_rels, video_ann)."""
+    rng = np.random.RandomState(seed)
+    base = os.path.join(root, ds_name)
+    for sub in ("Annotations", "JPEGImages",
+                os.path.join("ImageSets", "Main")):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    h, w = hw
+    class_ids = {c: i + 1 for i, c in enumerate(VRD15)}   # bg = 0
+    annos, gt_rels, video_ann = {}, {}, {}
+    split_indices = {"trainval": [], "test": []}
+    n_train_videos = int(n_videos * split_frac)
+    for v in range(n_videos):
+        vid = f"vid{v:02d}"
+        split = "trainval" if v < n_train_videos else "test"
+        n_obj = rng.randint(min_obj, max_obj + 1)
+        sizes, pos, vel, cls = [], [], [], []
+        for _ in range(n_obj):
+            bw = rng.randint(*size_range)
+            bh = rng.randint(*size_range)
+            sizes.append((bw, bh))
+            pos.append([rng.uniform(0, w - bw), rng.uniform(0, h - bh)])
+            vel.append(rng.uniform(-max_speed, max_speed, 2))
+            cls.append(rng.randint(len(LEARNABLE_CLASSES)))
+        per_frame_objs = []
+        for f in range(n_frames):
+            index = f"{vid}_{f:04d}"
+            im = (rng.rand(h, w, 3) * 40).astype(np.uint8)
+            objs = []
+            for oi in range(n_obj):
+                bw, bh = sizes[oi]
+                x1 = int(round(pos[oi][0]))
+                y1 = int(round(pos[oi][1]))
+                ci = cls[oi]
+                col = np.asarray(_COLORS[ci]) + rng.randint(-15, 16, 3)
+                im[y1:y1 + bh, x1:x1 + bw] = np.clip(col, 0, 255)
+                objs.append((LEARNABLE_CLASSES[ci],
+                             (x1, y1, x1 + bw - 1, y1 + bh - 1)))
+                # advance with wall bounce
+                for ax, lim in ((0, w - bw), (1, h - bh)):
+                    pos[oi][ax] += vel[oi][ax]
+                    if pos[oi][ax] < 0 or pos[oi][ax] > lim:
+                        vel[oi][ax] = -vel[oi][ax]
+                        pos[oi][ax] = np.clip(pos[oi][ax], 0, lim)
+            Image.fromarray(im).save(
+                os.path.join(base, "JPEGImages", index + ext))
+            _write_xml(os.path.join(base, "Annotations", index + ".xml"),
+                       (h, w), objs)
+            annos[index] = objs
+            gt_rels[index] = _geom_relations(objs)
+            split_indices[split].append(index)
+            per_frame_objs.append(objs)
+        # maximal constant runs -> video-level GT trajectories
+        presence = {}
+        for f, objs in enumerate(per_frame_objs):
+            for s, p, o in gt_rels[f"{vid}_{f:04d}"]:
+                presence.setdefault((s, p, o), []).append(f)
+        rels_out = []
+        for (s, p, o), frames in presence.items():
+            run_start = prev = frames[0]
+            runs = []
+            for f in frames[1:] + [None]:
+                if f is None or f != prev + 1:
+                    runs.append((run_start, prev + 1))
+                    run_start = f
+                prev = f
+            for fs, fe in runs:
+                if fe - fs < min_gt_len:
+                    continue
+                rels_out.append({
+                    "triplet": [class_ids[per_frame_objs[0][s][0]], p,
+                                class_ids[per_frame_objs[0][o][0]]],
+                    "duration": [fs, fe],
+                    "sub_traj": [list(map(float, per_frame_objs[f][s][1]))
+                                 for f in range(fs, fe)],
+                    "obj_traj": [list(map(float, per_frame_objs[f][o][1]))
+                                 for f in range(fs, fe)],
+                })
+        video_ann[vid] = rels_out
+    for split, idxs in split_indices.items():
+        with open(os.path.join(base, "ImageSets", "Main",
+                               split + ".txt"), "w") as f:
+            f.write("\n".join(idxs) + "\n")
+        # val mirrors trainval (dataset-factory naming convention)
+        if split == "trainval":
+            with open(os.path.join(base, "ImageSets", "Main",
+                                   "val.txt"), "w") as f:
+                f.write("\n".join(idxs) + "\n")
+        with open(os.path.join(base,
+                               f"video_annotations_{split}.json"),
+                  "w") as f:
+            vids = {f"vid{v:02d}" for v in (
+                range(n_train_videos) if split == "trainval"
+                else range(n_train_videos, n_videos))}
+            json.dump({k: v for k, v in video_ann.items() if k in vids}, f)
+    with open(os.path.join(base, "source_gt_rels.pkl"), "wb") as f:
+        pickle.dump(gt_rels, f)
+    return annos, gt_rels, video_ann
+
+
 def make_fixture_root(root, n_rel=7, n_videos=2, frames_per_video=6):
     """Full fixture: MVRD source (8 stills) + MVidVRD target (video frames)
     + source gt_rels pickle + video annotation JSON. Returns paths dict."""

@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
     from i2vsgg_tpu.ops.roi_align import roi_align_avg, _interp_matrix
     from i2vsgg_tpu.ops.pallas.roi_align_kernel import (
-        roi_align_avg_pallas_core, pick_r_tile)
+        roi_align_avg_pallas_core, pick_tiles)
 
     rng = np.random.RandomState(0)
     P = 7
@@ -76,8 +76,8 @@ def main():
         got = np.asarray(pallas_fn(fmap, rois), np.float32)
         err = np.abs(ref - got).max()
         print(f"{tag} max|diff|={err:.5f}  speedup={a / b:.2f}x", flush=True)
-        rt = pick_r_tile(N, H, W, C, P)
-        print(f"{tag} r_tile={rt}")
+        rt, ct = pick_tiles(N, H, W, C, P)
+        print(f"{tag} r_tile={rt} c_tile={ct}")
 
 
 if __name__ == "__main__":

@@ -51,18 +51,31 @@ CFG_OVERRIDES = ["ANCHOR_SCALES", "[2, 4, 8]",
                  "POOLING_MODE", "align"]
 
 
-def make_data(root, n_source=48, n_target=24, seed=0):
-    from tests.fixtures import make_learnable_dataset
+def make_data(root, n_source=48, n_target=24, seed=0, source_split=0.75,
+              target_split=0.75, video_target=False, n_frames=24):
+    from tests.fixtures import (make_learnable_dataset,
+                                make_learnable_video_dataset)
     os.makedirs(root, exist_ok=True)
     # easy-to-learn regime (1 CPU core budgets the reference arm's steps):
     # 1-3 large objects per image
     make_learnable_dataset(root, "MVRD", n_source, ".jpg", seed=seed,
+                           split_frac=source_split,
                            min_obj=1, max_obj=3, size_range=(50, 110))
-    # target domain: same generator, different seed (MVidVRD uses .png and
-    # video-frame naming)
-    make_learnable_dataset(root, "MVidVRD", n_target, ".png", seed=seed + 1,
-                           index_fmt="vid00_{:04d}",
-                           min_obj=1, max_obj=3, size_range=(50, 110))
+    if video_target:
+        # target domain = real (synthetic) VIDEOS: Stage A uses the
+        # trainval frames as DA target stills; Stage C evaluates trained
+        # relation R@50 on the held-out videos
+        make_learnable_video_dataset(root, "MVidVRD", n_videos=n_target,
+                                     n_frames=n_frames, seed=seed + 1,
+                                     split_frac=target_split,
+                                     size_range=(50, 110))
+    else:
+        # target domain: same still generator, different seed (MVidVRD
+        # uses .png and video-frame naming)
+        make_learnable_dataset(root, "MVidVRD", n_target, ".png",
+                               seed=seed + 1, index_fmt="vid00_{:04d}",
+                               split_frac=target_split,
+                               min_obj=1, max_obj=3, size_range=(50, 110))
     # so-prior pickle (the reference vrd module loads it at __init__)
     import pickle
     prior = np.random.RandomState(9).dirichlet(np.ones(N_REL),
@@ -73,14 +86,23 @@ def make_data(root, n_source=48, n_target=24, seed=0):
     return root
 
 
-def _loaders(cfg, bs):
+def _loaders(cfg, bs, seed=3):
+    """Shared data loaders. ``seed`` controls the shuffle order; our arm's
+    driver uses cfg.RNG_SEED for the same two loaders, so passing the same
+    value here gives both arms the SAME data order for a given run seed."""
     from i2vsgg_tpu.data.roidb import combined_roidb
     from i2vsgg_tpu.data.pipeline import DetectionLoader
     imdb_s, roidb_s, _, idx_s = combined_roidb("MVRD_trainval")
     imdb_t, roidb_t, _, idx_t = combined_roidb("MVidVRD_trainval")
-    ls = DetectionLoader(roidb_s, idx_s, cfg, bs, training=True, seed=3)
-    lt = DetectionLoader(roidb_t, idx_t, cfg, bs, training=True, seed=4)
+    ls = DetectionLoader(roidb_s, idx_s, cfg, bs, training=True, seed=seed)
+    lt = DetectionLoader(roidb_t, idx_t, cfg, bs, training=True,
+                         seed=seed + 1)
     return imdb_s, ls, lt
+
+
+def _run_seed(seed: int) -> int:
+    """Per-run RNG stream base: seed 0 keeps the historical value 3."""
+    return 3 + 1000 * seed
 
 
 def _our_cfg():
@@ -117,9 +139,24 @@ def shared_init(data_root, out_dir, seed=0):
     return path
 
 
-def train_reference(data_root, out_dir, steps, seed=0):
+def lr_at(step, steps_per_epoch):
+    """The SHARED decay rule, identical in both arms: x0.1 at the start of
+    (1-indexed) epoch 6, 11, ... — the reference driver's
+    ``(epoch > 1) and ((epoch-1) % lr_decay_step == 0)`` with
+    lr_decay_step=5 (trainval_…:232-234), which our
+    ``step_decay_schedule`` reproduces as ``(step//spe)//5`` decays.
+    ``step`` is the 0-indexed update count. Round-2's harness decayed the
+    reference arm ONCE at a hardcoded step 180 (36 steps/epoch) while our
+    arm decayed on the real 48-step epochs REPEATEDLY (x0.01 by step 480,
+    x0.001 by 720) — the root cause of the round-2 'ours plateaus at
+    0.164 while the reference reaches 0.250' asymmetry."""
+    return HP["lr"] * (0.1 ** ((step // steps_per_epoch) // 5))
+
+
+def train_reference(data_root, out_dir, steps, seed=0, snap_steps=()):
     """Train the reference styleD detector on CPU; save converted weights
-    in OUR checkpoint format; return the checkpoint path prefix."""
+    in OUR checkpoint format; return {step: ckpt_path} including the final
+    step and any intermediate ``snap_steps``."""
     import torch
     from i2vsgg_tpu.parity.refshim import (build_reference_detector,
                                            reference_cfg)
@@ -136,7 +173,8 @@ def train_reference(data_root, out_dir, steps, seed=0):
     torch.manual_seed(seed)
     np.random.seed(seed)
     cfg = _our_cfg()
-    imdb_s, loader_s, loader_t = _loaders(cfg, HP["bs"])
+    imdb_s, loader_s, loader_t = _loaders(cfg, HP["bs"], _run_seed(seed))
+    spe = min(len(loader_s), len(loader_t))   # == our driver's value
     # same 16-way class space as our arm (the full MVRD class list; only
     # the 8 learnable classes appear in the data)
     ref = build_reference_detector(tuple(imdb_s.classes),
@@ -162,6 +200,15 @@ def train_reference(data_root, out_dir, steps, seed=0):
 
     def to_t(x):
         return torch.from_numpy(np.ascontiguousarray(x))
+
+    tag = f"ref{seed}"
+    ckpts = {}
+
+    def snapshot(at_step):
+        ref.eval()
+        ckpts[at_step] = save_converted(ref.state_dict(), imdb_s, out_dir,
+                                        tag, at_step)
+        ref.train()
 
     step = 0
     t0 = time.time()
@@ -201,24 +248,25 @@ def train_reference(data_root, out_dir, steps, seed=0):
             for p_ in ref.parameters():
                 if p_.requires_grad and p_.grad is not None:
                     p_.grad.mul_(scale)
+            # the SHARED schedule (see lr_at): step is the 0-indexed count
+            # of this update, mirroring optax.scale_by_schedule's counter
+            cur = lr_at(step, spe)
+            for g in opt.param_groups:
+                g["lr"] = cur * (2.0 if g["weight_decay"] == 0 else 1.0)
             opt.step()
             step += 1
-            # reference practice: lr x0.1 at epoch lr_decay_step(=5) —
-            # adjust_learning_rate in the reference driver; both arms decay
-            # at the same step boundary (36 steps/epoch)
-            if step == 5 * 36:
-                for g in opt.param_groups:
-                    g["lr"] *= 0.1
+            if step in snap_steps and step < steps:
+                snapshot(step)
             if step % 20 == 0:
-                print(f"[ref {step:4d}/{steps}] loss {float(loss):.4f} "
-                      f"({(time.time() - t0) / step:.2f}s/step)", flush=True)
+                print(f"[ref{seed} {step:4d}/{steps}] loss {float(loss):.4f}"
+                      f" lr {cur:.2e}"
+                      f" ({(time.time() - t0) / step:.2f}s/step)", flush=True)
             if step >= steps:
                 break
 
     # convert to our checkpoint format (evaluated by OUR eval driver)
-    ref.eval()
-    ckpt = save_converted(ref.state_dict(), imdb_s, out_dir, "ref", step)
-    return ckpt
+    snapshot(step)
+    return ckpts
 
 
 def save_converted(sd, imdb, out_dir, tag, step):
@@ -248,24 +296,45 @@ def save_converted(sd, imdb, out_dir, tag, step):
 
 
 def train_ours(data_root, out_dir, steps, seed=0):
+    """Train our arm via the normal driver (shared init, shared data order,
+    shared schedule — the driver's step_decay_schedule with lr_decay_step=5
+    equals lr_at() since both use spe = min(len(ls), len(lt))). Returns the
+    checkpoint dir (per-epoch checkpoints inside)."""
     from tools.trainval_det_da import main as train_main
-    init_pth = shared_init(data_root, out_dir, seed)
-    epochs = max(1, -(-steps // 36))      # 36 source batches/epoch at bs 1
-    state = train_main([
+    init_pth = shared_init(data_root, out_dir)
+    cfg = _our_cfg()
+    _, ls, lt = _loaders(cfg, HP["bs"])
+    spe = min(len(ls), len(lt))
+    epochs = max(1, -(-steps // spe))
+    session = str(901 + seed)
+    train_main([
         "--dataset", "MVRD", "--dataset_t", "MVidVRD",
         "--net", f"res{HP['depth']}", "--bs", str(HP["bs"]),
         "--epochs", str(epochs), "--max_steps", str(steps),
-        "--lr", str(HP["lr"]), "--eta", str(HP["eta"]),
+        "--lr", str(HP["lr"]), "--lr_decay_step", "5",
+        "--eta", str(HP["eta"]),
         "--eta_style", str(HP["eta_style"]),
         "--style_lambda", str(HP["style_lambda"]),
         "--clip", str(HP["clip"]),
         "--pretrained_backbone", init_pth, "--pretrained_full",
         "--ic", "--gc", "--compute_dtype", "float32",
-        "--disp_interval", "20", "--s", "901",
-        "--save_dir", out_dir, "--cfg"] + CFG_OVERRIDES)
-    step = int(state.step)
+        "--disp_interval", "20", "--s", session,
+        "--save_dir", out_dir, "--cfg"] + CFG_OVERRIDES
+        + ["RNG_SEED", str(_run_seed(seed))])
     return os.path.join(out_dir, f"res{HP['depth']}", "MVRD",
-                        "session_901", str(step))
+                        f"session_{session}")
+
+
+def ours_ckpts(ckpt_dir, want_steps):
+    """Map each wanted step to the nearest saved checkpoint step."""
+    import re
+    steps = sorted(int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
+                   if re.fullmatch(r"step_\d+", d))
+    out = {}
+    for wsw in want_steps:
+        near = min(steps, key=lambda s: abs(s - wsw))
+        out[near] = os.path.join(ckpt_dir, str(near))
+    return out
 
 
 def eval_det(ckpt, out_dir, dataset="MVRD"):
@@ -439,6 +508,7 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
     imdb_s, _, _ = _loaders(_our_cfg(), 1)
     det_ckpt = save_converted(sd, imdb_s, out_dir, "shared", 0)
 
+    session = str(951 + seed)
     epochs = max(1, -(-steps // 36))
     sgg_main([
         "--dataset", "MVRD", "--net", f"res{HP['depth']}", "--bs", "1",
@@ -446,12 +516,13 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
         "--vrd_lr", "1e-3", "--num_relations", str(N_REL),
         "--source_gt_rels_path",
         os.path.join(data_root, "MVRD", "source_gt_rels.pkl"),
-        "--compute_dtype", "float32", "--disp_interval", "50", "--s", "903",
+        "--compute_dtype", "float32", "--disp_interval", "50",
+        "--s", session,
         "--save_dir", out_dir, "--load_name", det_ckpt,
-        "--cfg"] + CFG_OVERRIDES)
+        "--cfg"] + CFG_OVERRIDES + ["RNG_SEED", str(_run_seed(seed))])
 
     ckpt_dir = os.path.join(out_dir, f"res{HP['depth']}", "MVRD_SGG",
-                            "session_903")
+                            f"session_{session}")
     step = latest_step(ckpt_dir)
     cfg = _our_cfg()
     model = SGGModel(trunk=ResNetTrunk(depth=HP["depth"],
@@ -470,19 +541,87 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
 
     params = restore_intersection(ckpt_dir, step, init_params(4))
 
+    # fixed shapes (GB boxes / PB pairs) so ONE jitted program serves every
+    # frame — per-call tracing through the axon tunnel would dominate the
+    # video-eval loop otherwise
+    GB, PB = 8, 56
+
+    @jax.jit
+    def _score(params, im, info, boxes, ix1, ix2, pv):
+        out = model.apply({"params": params}, im, info, boxes,
+                          jnp.zeros((GB,), jnp.int32), ix1, ix2, pv, prd)
+        return jax.nn.softmax(out["scores"], -1)
+
     def score_fn(index, im, scale, boxes, pairs):
-        ix1 = jnp.asarray([p[0] for p in pairs], jnp.int32)
-        ix2 = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        n, p = len(boxes), len(pairs)
+        assert n <= GB and p <= PB, (n, p)
+        bx = np.zeros((GB, 4), np.float32)
+        bx[:n] = boxes
+        ix1 = np.zeros((PB,), np.int32)
+        ix2 = np.zeros((PB,), np.int32)
+        ix1[:p] = [q[0] for q in pairs]
+        ix2[:p] = [q[1] for q in pairs]
+        pv = np.arange(PB) < p
         h, w = im.shape[:2]
-        out = model.apply(
-            {"params": params}, jnp.asarray(im[None].astype(np.float32)),
-            jnp.asarray([float(h), float(w), 1.0]),
-            jnp.asarray(boxes.astype(np.float32)),
-            jnp.zeros((len(boxes),), jnp.int32), ix1, ix2,
-            jnp.ones((len(pairs),), bool), prd)
-        return np.asarray(jax.nn.softmax(out["scores"], -1))
+        s = _score(params, jnp.asarray(im[None].astype(np.float32)),
+                   jnp.asarray([float(h), float(w), 1.0]), jnp.asarray(bx),
+                   jnp.asarray(ix1), jnp.asarray(ix2), jnp.asarray(pv))
+        return np.asarray(jax.device_get(s))[:p]
 
     return score_fn
+
+
+def eval_video_rel(score_fn, data_root, split="test"):
+    """The FULL trained relation-detection pipeline on held-out videos,
+    shared by both arms: GT boxes as per-frame detections (the reference's
+    own eval setting — ``faster_rcnn_SGG_emb.py:583-587``) -> predicate
+    scores from the arm's trained head -> per-frame top-100 tuples
+    (``detection_output``, lib/utils.py:584-627) -> temporal association
+    (lib/utils.py:461-526) -> vIoU-0.5 evaluate (lib/utils.py:375-458).
+    Returns relation-detection mAP / R@50 / R@100 + tagging P@1/5/10 —
+    the first TRAINED R@50 comparison (round-2 verdict item 2)."""
+    from i2vsgg_tpu.data.roidb import combined_roidb
+    from i2vsgg_tpu.data.pipeline import imread_bgr, prep_image
+    from i2vsgg_tpu.video.association import association
+    from i2vsgg_tpu.video.metrics import detection_output, evaluate
+    cfg = _our_cfg()
+    imdb, roidb, _, _ = combined_roidb(f"MVidVRD_{split}",
+                                       use_flipped=False)
+    frame_detections = {}
+    for e in roidb:
+        index = os.path.splitext(os.path.basename(e["image"]))[0]
+        vid, fno = index.rsplit("_", 1)
+        boxes0 = e["boxes"].astype(np.float64)
+        classes = e["gt_classes"]
+        n = len(boxes0)
+        pairs = [(s, o) for s in range(n) for o in range(n) if s != o]
+        tuples = []
+        if n >= 2:
+            im, scale = prep_image(imread_bgr(e["image"]), 240,
+                                   cfg.PIXEL_MEANS)
+            probs = score_fn(index, im, scale, boxes0 * scale, pairs)
+            out = detection_output(
+                probs, boxes0, classes, np.ones((n,), np.float32),
+                np.asarray([p[0] for p in pairs]),
+                np.asarray([p[1] for p in pairs]), top_k=100)
+            if out is not None:
+                rlp, tconfs, sboxes, oboxes, _ = out
+                for t in range(len(tconfs)):
+                    tuples.append([float(tconfs[t]),
+                                   [int(c) for c in rlp[t]],
+                                   [sboxes[t].tolist(), oboxes[t].tolist()],
+                                   t])
+        frame_detections.setdefault(vid, []).append([int(fno), tuples])
+    vr = association(frame_detections)
+    with open(os.path.join(os.environ["I2VSGG_DATA_ROOT"], "MVidVRD",
+                           f"video_annotations_{split}.json")) as f:
+        gt = json.load(f)
+    mean_ap, rec_at_n, mprec_at_n = evaluate(vr, gt, verbose=False)
+    return {"rel_mAP": mean_ap,
+            "R@50": rec_at_n.get(50, 0.0), "R@100": rec_at_n.get(100, 0.0),
+            "P@1": mprec_at_n.get(1, 0.0), "P@5": mprec_at_n.get(5, 0.0),
+            "P@10": mprec_at_n.get(10, 0.0),
+            "n_gt": int(sum(len(v) for v in gt.values()))}
 
 
 def eval_sgg(score_fn):
@@ -517,59 +656,9 @@ def eval_sgg(score_fn):
             "n_pairs": total}
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="runs/parity")
-    ap.add_argument("--data", default="")
-    ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--arm", default="both", choices=("ours", "ref", "both"))
-    ap.add_argument("--stage", default="a", choices=("a", "b", "ab"))
-    args = ap.parse_args(argv)
-
-    if os.environ.get("I2VSGG_PARITY_TPU") != "1":
-        os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
-    data_root = args.data or os.path.join(args.out, "data")
-    if not os.path.isdir(os.path.join(data_root, "MVRD")):
-        make_data(data_root)
-        print(f"learnable dataset -> {data_root}")
-    os.environ["I2VSGG_DATA_ROOT"] = data_root
-
-    results = {}
-    if args.stage in ("a", "ab"):
-        if args.arm in ("ours", "both"):
-            t0 = time.time()
-            ckpt = train_ours(data_root, args.out, args.steps)
-            results["ours_train_s"] = round(time.time() - t0, 1)
-            results["ours_mAP"] = eval_det(ckpt, args.out)
-            print(f"OURS mAP: {results['ours_mAP']:.4f}")
-        if args.arm in ("ref", "both"):
-            t0 = time.time()
-            ckpt = train_reference(data_root, args.out, args.steps)
-            results["ref_train_s"] = round(time.time() - t0, 1)
-            results["ref_mAP"] = eval_det(ckpt, args.out)
-            print(f"REFERENCE mAP: {results['ref_mAP']:.4f}")
-    if args.stage in ("b", "ab"):
-        if args.arm in ("ours", "both"):
-            t0 = time.time()
-            fn = train_ours_sgg(data_root, args.out, args.steps)
-            m = eval_sgg(fn)
-            results["ours_sgg_train_s"] = round(time.time() - t0, 1)
-            results["ours_sgg"] = m
-            print(f"OURS sgg: {m}")
-        if args.arm in ("ref", "both"):
-            t0 = time.time()
-            fn = train_reference_sgg(data_root, args.out, args.steps)
-            m = eval_sgg(fn)
-            results["ref_sgg_train_s"] = round(time.time() - t0, 1)
-            results["ref_sgg"] = m
-            print(f"REFERENCE sgg: {m}")
-
-    results["steps"] = args.steps
-    os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, f"parity_{args.stage}.json")
+def _save_results(out, stage, results):
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, f"parity_{stage}.json")
     prev = {}
     if os.path.exists(path):
         with open(path) as f:
@@ -577,6 +666,94 @@ def main(argv=None):
     prev.update(results)
     with open(path, "w") as f:
         json.dump(prev, f, indent=1)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/parity")
+    ap.add_argument("--data", default="")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--seeds", default="0",
+                    help="comma-separated run seeds, one full run per seed")
+    ap.add_argument("--snaps", default="",
+                    help="comma-separated intermediate eval steps (should "
+                         "be epoch multiples so both arms align)")
+    ap.add_argument("--n_source", type=int, default=48)
+    ap.add_argument("--n_target", type=int, default=24)
+    ap.add_argument("--source_split", type=float, default=0.75)
+    ap.add_argument("--target_split", type=float, default=0.75)
+    ap.add_argument("--arm", default="both", choices=("ours", "ref", "both"))
+    ap.add_argument("--stage", default="a",
+                    help="any subset of 'abc' (c = Stage-B training + "
+                         "video relation R@50 pipeline on held-out videos)")
+    args = ap.parse_args(argv)
+    assert set(args.stage) <= set("abc") and args.stage
+
+    import jax
+    if os.environ.get("I2VSGG_PARITY_TPU") != "1":
+        os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+        jax.config.update("jax_platforms", "cpu")
+    # the reference arm trains in full fp32 on CPU; on TPU our convs/matmuls
+    # would otherwise run at the default bf16-ish matmul precision — a
+    # systematic TRAINING-precision asymmetry between the arms (round-2
+    # confound). Force fp32 accumulation everywhere for parity work.
+    jax.config.update("jax_default_matmul_precision", "float32")
+
+    data_root = args.data or os.path.join(args.out, "data")
+    if not os.path.isdir(os.path.join(data_root, "MVRD")):
+        make_data(data_root, n_source=args.n_source, n_target=args.n_target,
+                  source_split=args.source_split,
+                  target_split=args.target_split)
+        print(f"learnable dataset -> {data_root}")
+    os.environ["I2VSGG_DATA_ROOT"] = data_root
+
+    seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+    snaps = tuple(int(s) for s in args.snaps.split(",") if s != "")
+    results = {}
+
+    def finish(stage, key, val):
+        """Record + persist incrementally (runs take hours; a crash must
+        not lose completed arms)."""
+        results[key] = val
+        _save_results(args.out, stage, {key: val, "steps": args.steps})
+        print(f"{key}: {val}", flush=True)
+
+    arms = {"ours": ("ours",), "ref": ("ref",),
+            "both": ("ours", "ref")}[args.arm]
+    for seed in seeds:
+        if "a" in args.stage:
+            for arm in arms:
+                t0 = time.time()
+                if arm == "ours":
+                    ckpt_dir = train_ours(data_root, args.out, args.steps,
+                                          seed)
+                    ckpts = ours_ckpts(ckpt_dir, set(snaps) | {args.steps})
+                else:
+                    ckpts = train_reference(data_root, args.out, args.steps,
+                                            seed, snap_steps=snaps)
+                train_s = round(time.time() - t0, 1)
+                maps = {}
+                for s, p in sorted(ckpts.items()):
+                    maps[str(s)] = {
+                        ds: eval_det(p, args.out, dataset=ds)
+                        for ds in ("MVRD", "MVidVRD")}
+                finish("a", f"{arm}_s{seed}",
+                       {"mAP": maps, "train_s": train_s})
+        if set("bc") & set(args.stage):
+            for arm in arms:
+                t0 = time.time()
+                fn = (train_ours_sgg if arm == "ours"
+                      else train_reference_sgg)(data_root, args.out,
+                                                args.steps, seed)
+                train_s = round(time.time() - t0, 1)
+                if "b" in args.stage:
+                    finish("b", f"{arm}_sgg_s{seed}",
+                           dict(eval_sgg(fn), train_s=train_s))
+                if "c" in args.stage:
+                    finish("c", f"{arm}_video_s{seed}",
+                           dict(eval_video_rel(fn, data_root),
+                                train_s=train_s))
+
     print(json.dumps(results))
     return results
 

@@ -196,13 +196,20 @@ def main(argv=None):
                           f"({m['imgs_per_sec']:.1f} img/s)")
                 if args.max_steps and step_i >= args.max_steps:
                     break
-            save_checkpoint(ckpt_dir, state, step_i, metadata={
-                "session": args.session, "epoch": epoch,
-                "pooling_mode": cfg.POOLING_MODE,
-                "class_agnostic": args.class_agnostic, "net": args.net,
-                "dataset": args.dataset, "classes": list(imdb_s.classes)},
-                keep_last=args.keep_ckpts or None)
-            print(f"checkpoint @ step {step_i} (epoch {epoch})")
+            # only process 0 writes/GCs on the (typically shared) ckpt dir;
+            # the barrier keeps other hosts from racing a subsequent restore
+            if jax.process_index() == 0:
+                save_checkpoint(ckpt_dir, state, step_i, metadata={
+                    "session": args.session, "epoch": epoch,
+                    "pooling_mode": cfg.POOLING_MODE,
+                    "class_agnostic": args.class_agnostic, "net": args.net,
+                    "dataset": args.dataset,
+                    "classes": list(imdb_s.classes)},
+                    keep_last=args.keep_ckpts or None)
+                print(f"checkpoint @ step {step_i} (epoch {epoch})")
+            if multihost:
+                from i2vsgg_tpu.parallel.mesh import sync_global_devices
+                sync_global_devices(f"ckpt_{step_i}")
             if args.max_steps and step_i >= args.max_steps:
                 break
     logger.close()

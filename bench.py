@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--max-det", type=int, default=16)
+    ap.add_argument("--rpn-topn", type=int, default=0,
+                    help="TEST.RPN_POST_NMS_TOP_N override (0 = config "
+                         "default). 128 is the quality-validated serving "
+                         "capacity (see PARITY_RUNS.md / PERF.md)")
     ap.add_argument("--num-classes", type=int, default=16)
     ap.add_argument("--num-relations", type=int, default=26)
     ap.add_argument("--bf16-params", action=argparse.BooleanOptionalAction,
@@ -75,6 +79,10 @@ def main():
     log(f"device: {dev} ({dev.platform})")
 
     cfg = Config()
+    if args.rpn_topn:
+        from i2vsgg_tpu.config import cfg_from_list
+        cfg = cfg_from_list(["TEST.RPN_POST_NMS_TOP_N",
+                             str(args.rpn_topn)], cfg)
     b, h, w = args.batch, args.height, args.width
     images = jnp.asarray(
         np.random.RandomState(0).randn(b, h, w, 3).astype(np.float32) * 20)

@@ -148,6 +148,26 @@ def test_res101_train_step_smoke(fixture_env, workdir):
     assert np.isfinite(rec[-1]["loss"])
 
 
+def test_vgg16_train_step_smoke(fixture_env, workdir):
+    """VGG16 one-step train+checkpoint smoke (round-2 verdict item 7): the
+    reference trains VGG16 via cfgs/vgg16.yml with clip_gradient(10)
+    (net_utils.py:28-36) — exercise the vgg16 trunk/head TRAINING path and
+    the default-on clip wiring (trainval_det_da.py picks clip=10 for
+    vgg16 when --clip is unset)."""
+    from tools.trainval_det_da import main
+    state = main(["--dataset", "MVRD", "--dataset_t", "MVidVRD",
+                  "--net", "vgg16", "--bs", "1", "--epochs", "1",
+                  "--lr", "1e-3", "--max_steps", "1", "--ic", "--gc",
+                  "--style_lambda", "1", "--disp_interval", "1",
+                  "--compute_dtype", "float32", "--s", "116",
+                  "--save_dir", workdir] + TINY_CFG)
+    assert int(state.step) == 1
+    logs = os.path.join(workdir, "vgg16", "MVRD", "session_116", "logs",
+                        "metrics.jsonl")
+    rec = [json.loads(l) for l in open(logs)]
+    assert np.isfinite(rec[-1]["loss"])
+
+
 def test_vgg16_detection_inference(fixture_env, workdir):
     """BASELINE config 1: VGG16 Faster R-CNN detection inference on the VRD
     stills (random weights; exercises the vgg16 trunk/head + cfgs wiring)."""

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Quality A/B of SERVING capacity cuts at the bench's 600-pixel scale
+(round-2 verdict items 3-4): train our detector on a 600-scale learnable
+dataset once, then evaluate the SAME weights at several
+(TEST.RPN_POST_NMS_TOP_N, max_det) capacities. A capacity is
+quality-validated when its mAP matches the full-capacity eval.
+
+The bench headline must run at a capacity this A/B validates
+(BENCH_CONFIG.md records the result).
+
+Usage:
+  I2VSGG_PARITY_TPU=1 python tools/capacity_ab.py --out runs/capacity_ab \
+      --steps 600
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+# 600-short-side config, reference anchors (cfgs/res101.yml semantics)
+CFG = ["ANCHOR_SCALES", "[4, 8, 16]",
+       "TRAIN.SCALES", "[600]", "TEST.SCALES", "[600]",
+       "TRAIN.RPN_PRE_NMS_TOP_N", "6000",
+       "TRAIN.RPN_POST_NMS_TOP_N", "256",
+       "TRAIN.RPN_POST_NMS_TOP_N_TARGET", "128",
+       "TEST.RPN_PRE_NMS_TOP_N", "6000",
+       "POOLING_MODE", "align"]
+
+
+def make_data(root, n=200, split=0.4):
+    from tests.fixtures import make_learnable_dataset
+    os.makedirs(root, exist_ok=True)
+    make_learnable_dataset(root, "MVRD", n, ".jpg", seed=11,
+                           hw=(600, 800), split_frac=split,
+                           min_obj=2, max_obj=6, size_range=(60, 220))
+    # tiny target set (DA needs one; quality question is source-side)
+    make_learnable_dataset(root, "MVidVRD", 24, ".png", seed=12,
+                           hw=(600, 800), index_fmt="vid00_{:04d}",
+                           min_obj=2, max_obj=6, size_range=(60, 220))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/capacity_ab")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--net", default="res101")
+    ap.add_argument("--skip_train", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if os.environ.get("I2VSGG_PARITY_TPU") != "1":
+        os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+        jax.config.update("jax_platforms", "cpu")
+
+    data_root = os.path.join(args.out, "data")
+    if not os.path.isdir(os.path.join(data_root, "MVRD")):
+        make_data(data_root)
+        print(f"600-scale learnable dataset -> {data_root}")
+    os.environ["I2VSGG_DATA_ROOT"] = data_root
+
+    ckpt_dir = os.path.join(args.out, args.net, "MVRD", "session_902")
+    if not args.skip_train:
+        from tools.trainval_det_da import main as train_main
+        train_main([
+            "--dataset", "MVRD", "--dataset_t", "MVidVRD",
+            "--net", args.net, "--bs", "1",
+            "--epochs", "99", "--max_steps", str(args.steps),
+            "--lr", "5e-4", "--lr_decay_step", "5",
+            "--eta", "0.1", "--eta_style", "0.001", "--style_lambda", "1",
+            "--clip", "10", "--ic", "--gc",
+            "--disp_interval", "20", "--s", "902",
+            "--save_dir", args.out, "--cfg"] + CFG)
+
+    from i2vsgg_tpu.train.checkpoint import latest_step
+    step = latest_step(ckpt_dir)
+    assert step, f"no checkpoint in {ckpt_dir}"
+
+    from tools.test_det import main as eval_main
+    results = {}
+    for rpn_topn, max_det in [(300, 100), (128, 100), (128, 16), (300, 16)]:
+        t0 = time.time()
+        aps = eval_main([
+            "--dataset", "MVRD", "--net", args.net, "--bs", "1",
+            "--ic", "--gc", "--max_det", str(max_det),
+            "--save_dir", args.out,
+            "--load_name", os.path.join(ckpt_dir, str(step)),
+            "--cfg"] + CFG + ["TEST.RPN_POST_NMS_TOP_N", str(rpn_topn)])
+        key = f"rpn{rpn_topn}_det{max_det}"
+        results[key] = {"mAP": float(aps["mAP"]),
+                        "eval_s": round(time.time() - t0, 1)}
+        print(f"{key}: mAP {results[key]['mAP']:.4f}")
+        with open(os.path.join(args.out, "capacity_ab.json"), "w") as f:
+            json.dump({"step": step, "results": results}, f, indent=1)
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

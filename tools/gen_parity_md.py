@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Generate PARITY_RUNS.md from the run artifacts in runs/ — the tables
+are byte-derived from the JSONs (round-2 verdict item 6: a hand-transcribed
+table said 0.160 where runs/parity/summary.json records 0.134).
+
+Usage: python tools/gen_parity_md.py [--out PARITY_RUNS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+R2 = "runs/parity"
+R3 = "runs/parity_r3"
+
+
+def _load(path):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _fmt(x, nd=3):
+    return f"{x:.{nd}f}" if isinstance(x, (int, float)) else str(x)
+
+
+def _mean_spread(vals):
+    import numpy as np
+    v = np.asarray(vals, float)
+    if v.size == 0:
+        return "—"
+    if v.size == 1:
+        return f"{v[0]:.3f}"
+    return f"{v.mean():.3f} ± {v.std(ddof=0):.3f} ({v.min():.3f}–{v.max():.3f})"
+
+
+def round2_section(lines):
+    s = _load(os.path.join(R2, "summary.json"))
+    b = _load(os.path.join(R2, "parity_b.json"))
+    if not s:
+        return
+    lines += [
+        "## Round-2 runs (48 source stills, 12-image / 15-pair test split)",
+        "",
+        "Historical record — superseded by the round-3 experiment below. "
+        "Two systematic asymmetries were later found in THIS harness "
+        "version and fixed for round 3 (see `tools/parity_run.py::lr_at`): "
+        "the reference arm decayed its lr once at a hardcoded step 180 "
+        "while our arm decayed repeatedly on the real 48-step epochs "
+        "(x0.01 by step 480 — the 0.164 plateau below is that), and our "
+        "arm trained on TPU at the default bf16-ish matmul precision "
+        "while the reference arm ran full fp32.",
+        "",
+        "### Stage A — detection mAP@0.5 (`runs/parity/summary.json`)",
+        "",
+        "| Arm / recipe | step: mAP |",
+        "|---|---|",
+    ]
+    for arm, pts in s.get("stage_a_mAP", {}).items():
+        cells = ", ".join(f"{k}: {_fmt(v)}" for k, v in
+                          sorted(pts.items(), key=lambda kv: int(kv[0])))
+        lines.append(f"| {arm} | {cells} |")
+    lines += ["",
+              "### Stage B — predicate metrics on held-out GT pairs "
+              "(`runs/parity/parity_b.json`)", "",
+              "| Arm | steps | top-1 | pred mAP | n pairs |", "|---|---|---|---|---|"]
+    for arm in ("ours", "ref"):
+        m = b.get(f"{arm}_sgg", {})
+        if m:
+            steps = {"ours": 600, "ref": 300}[arm]   # recorded run lengths
+            lines.append(f"| {arm} | {steps} | {_fmt(m['top1_acc'])} | "
+                         f"{_fmt(m['pred_mAP'])} | {m['n_pairs']} |")
+    lines.append("")
+
+
+def _seed_rows(data, prefix):
+    """{seed: payload} for keys like '<prefix>_s<seed>'."""
+    out = {}
+    for k, v in data.items():
+        if k.startswith(prefix + "_s") and k[len(prefix) + 2:].isdigit():
+            out[int(k[len(prefix) + 2:])] = v
+    return dict(sorted(out.items()))
+
+
+def round3_section(lines):
+    a = _load(os.path.join(R3, "parity_a.json"))
+    b = _load(os.path.join(R3, "parity_b.json"))
+    c = _load(os.path.join(R3, "parity_c.json"))
+    if not (a or b or c):
+        return
+    meta = _load(os.path.join(R3, "setup.json"))
+    lines += ["## Round-3 experiment (statistical power + fixed schedule)",
+              ""]
+    if meta:
+        lines += [meta.get("description", ""), ""]
+    if a:
+        lines += ["### Stage A — detection mAP@0.5 per checkpoint step", ""]
+        for ds in ("MVRD", "MVidVRD"):
+            dom = "source" if ds == "MVRD" else "target (video frames)"
+            lines += [f"**{ds} test split ({dom}):**", "",
+                      "| Arm | seed | step: mAP |", "|---|---|---|"]
+            for arm in ("ours", "ref"):
+                for seed, v in _seed_rows(a, arm).items():
+                    cells = ", ".join(
+                        f"{s}: {_fmt(m[ds] if isinstance(m, dict) else m)}"
+                        for s, m in sorted(v["mAP"].items(),
+                                           key=lambda kv: int(kv[0])))
+                    lines.append(f"| {arm} | {seed} | {cells} |")
+            # final-step mean ± spread
+            for arm in ("ours", "ref"):
+                rows = _seed_rows(a, arm)
+                finals = []
+                for v in rows.values():
+                    last = max(v["mAP"], key=int)
+                    m = v["mAP"][last]
+                    finals.append(m[ds] if isinstance(m, dict) else m)
+                if finals:
+                    lines.append(f"| {arm} | mean(final) | "
+                                 f"{_mean_spread(finals)} |")
+            lines.append("")
+    if b:
+        lines += ["### Stage B — predicate metrics on held-out GT pairs",
+                  "", "| Arm | seed | top-1 | pred mAP | n pairs |",
+                  "|---|---|---|---|---|"]
+        for arm in ("ours", "ref"):
+            rows = _seed_rows(b, arm + "_sgg")
+            for seed, m in rows.items():
+                lines.append(f"| {arm} | {seed} | {_fmt(m['top1_acc'])} | "
+                             f"{_fmt(m['pred_mAP'])} | {m['n_pairs']} |")
+            if rows:
+                lines.append(
+                    f"| {arm} | mean | "
+                    f"{_mean_spread([m['top1_acc'] for m in rows.values()])}"
+                    f" | "
+                    f"{_mean_spread([m['pred_mAP'] for m in rows.values()])}"
+                    f" | |")
+        lines.append("")
+    if c:
+        lines += ["### Stage C — TRAINED video relation detection "
+                  "(GT-box pairs -> association -> vIoU@0.5)", "",
+                  "| Arm | seed | rel mAP | R@50 | R@100 | P@1 | P@5 | "
+                  "P@10 |", "|---|---|---|---|---|---|---|---|"]
+        for arm in ("ours", "ref"):
+            rows = _seed_rows(c, arm + "_video")
+            for seed, m in rows.items():
+                lines.append(
+                    f"| {arm} | {seed} | {_fmt(m['rel_mAP'])} | "
+                    f"{_fmt(m['R@50'])} | {_fmt(m['R@100'])} | "
+                    f"{_fmt(m['P@1'])} | {_fmt(m['P@5'])} | "
+                    f"{_fmt(m['P@10'])} |")
+            if rows:
+                cells = " | ".join(
+                    _mean_spread([m[k] for m in rows.values()])
+                    for k in ("rel_mAP", "R@50", "R@100", "P@1", "P@5",
+                              "P@10"))
+                lines.append(f"| {arm} | mean | {cells} |")
+        lines.append("")
+
+
+HEADER = """\
+# PARITY_RUNS — trained-quality comparison vs the PyTorch reference
+
+GENERATED by `tools/gen_parity_md.py` from `runs/*/parity_*.json` — do not
+hand-edit numbers here; regenerate instead.
+
+Real VRD/VidVRD and the reference's released checkpoints are unobtainable
+in this environment (zero egress), so both frameworks train on the SAME
+learnable synthetic dataset under the SAME recipe (shared random init via
+the value-parity-tested jwyang weight map, shared data order, shared
+step-anchored lr schedule, fp32 both arms) and every checkpoint of BOTH
+arms is evaluated by OUR eval drivers. Harness: `tools/parity_run.py`;
+value-level parity of the two model stacks is separately established by
+`tests/test_parity_reference.py` (see PARITY.md).
+"""
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PARITY_RUNS.md")
+    args = ap.parse_args(argv)
+    lines = [HEADER]
+    round3_section(lines)
+    round2_section(lines)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines).rstrip() + "\n")
+    print(f"wrote {args.out} ({len(lines)} lines)")
+
+
+if __name__ == "__main__":
+    main()

@@ -686,6 +686,14 @@ def main(argv=None):
     ap.add_argument("--stage", default="a",
                     help="any subset of 'abc' (c = Stage-B training + "
                          "video relation R@50 pipeline on held-out videos)")
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="stage a: train + snapshot only (record ckpt "
+                         "paths); a later --eval_only pass fills in mAP — "
+                         "lets the CPU-bound reference arm train while "
+                         "evals run on the TPU afterwards")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="evaluate every stage-a entry that has ckpts but "
+                         "no mAP yet")
     args = ap.parse_args(argv)
     assert set(args.stage) <= set("abc") and args.stage
 
@@ -703,8 +711,15 @@ def main(argv=None):
     if not os.path.isdir(os.path.join(data_root, "MVRD")):
         make_data(data_root, n_source=args.n_source, n_target=args.n_target,
                   source_split=args.source_split,
-                  target_split=args.target_split)
+                  target_split=args.target_split,
+                  # Stage C needs real videos with trajectory GT; for it,
+                  # n_target counts VIDEOS (x n_frames frames each)
+                  video_target="c" in args.stage)
         print(f"learnable dataset -> {data_root}")
+    if "c" in args.stage:
+        assert os.path.exists(os.path.join(
+            data_root, "MVidVRD", "video_annotations_test.json")), \
+            "stage c needs video-target data (delete the data dir to regen)"
     os.environ["I2VSGG_DATA_ROOT"] = data_root
 
     seeds = [int(s) for s in args.seeds.split(",") if s != ""]
@@ -717,6 +732,24 @@ def main(argv=None):
         results[key] = val
         _save_results(args.out, stage, {key: val, "steps": args.steps})
         print(f"{key}: {val}", flush=True)
+
+    if args.eval_only:
+        path = os.path.join(args.out, "parity_a.json")
+        with open(path) as f:
+            prev = json.load(f)
+        for key, val in sorted(prev.items()):
+            if not isinstance(val, dict) or "ckpts" not in val \
+                    or val.get("mAP"):
+                continue
+            maps = {}
+            for s, p in sorted(val["ckpts"].items(), key=lambda kv:
+                               int(kv[0])):
+                maps[str(s)] = {ds: eval_det(p, args.out, dataset=ds)
+                                for ds in ("MVRD", "MVidVRD")}
+            val = dict(val, mAP=maps)
+            _save_results(args.out, "a", {key: val})
+            print(f"{key}: {val['mAP']}", flush=True)
+        return prev
 
     arms = {"ours": ("ours",), "ref": ("ref",),
             "both": ("ours", "ref")}[args.arm]
@@ -732,6 +765,12 @@ def main(argv=None):
                     ckpts = train_reference(data_root, args.out, args.steps,
                                             seed, snap_steps=snaps)
                 train_s = round(time.time() - t0, 1)
+                if args.skip_eval:
+                    finish("a", f"{arm}_s{seed}",
+                           {"ckpts": {str(s): p
+                                      for s, p in sorted(ckpts.items())},
+                            "mAP": {}, "train_s": train_s})
+                    continue
                 maps = {}
                 for s, p in sorted(ckpts.items()):
                     maps[str(s)] = {

@@ -1,0 +1,136 @@
+"""Pallas TPU kernel: ResNet conv1 (7x7 stride-2) as a dense MXU matmul.
+
+XLA's direct lowering of conv1 runs at ~4% MXU utilization (~4.9 ms of the
+39.6 ms serving step at 8x600x960): with C_in=3 the systolic array's K
+dimension is starved, and every XLA-level rewrite tried (im2col+matmul,
+space-to-depth, NCHW) measured equal or worse (PERF.md round-2). This
+kernel restructures the op so the MXU sees one well-shaped matmul:
+
+* outside the kernel, the (pad-3) input is split into FOUR parity planes
+  (channels-major) — a stride-2 7x7 conv is a unit-stride read from parity
+  plane (dr%2, dc%2) at offset (dr//2, dc//2), so all in-kernel band reads
+  are contiguous;
+* the kernel im2cols a row band into X (K=160, RT*WP) in VMEM — K is the
+  49 taps x 3 channels (147) zero-padded to 160, the minor dim is the
+  output width padded to a lane multiple — and computes
+  Y = W (64, 160) @ X in ONE dot at N in the tens of thousands;
+* the FrozenBatchNorm affine + ReLU that always follow conv1 are fused in
+  (per-channel scale/bias on the sublane axis).
+
+Output is channels-major (B, 64, Ho, WP); the caller slices/transposes
+back to NHWC (cheap relayout vs. the matmul win).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_rt(ho: int, wp: int) -> int:
+    """Largest divisor of ho keeping the X scratch under ~4.5 MB."""
+    budget = int(4.5e6)
+    best = 1
+    for rt in range(1, ho + 1):
+        if ho % rt == 0 and 160 * rt * wp * 2 <= budget:
+            best = rt
+    return best
+
+
+def _kernel(planes_ref, w_ref, sb_ref, out_ref, x_ref, *, rt, wo, wp,
+            out_dtype):
+    """One grid step = one row band of one image.
+
+    planes_ref: (1, 2, 2, 3, Hp, Wq) bf16 parity planes
+    w_ref:      (64, 160) bf16
+    sb_ref:     (2, 64, 1) f32 — folded bn scale / bias
+    out_ref:    (1, 64, rt, wp)
+    x_ref:      (160, rt, wp) bf16 VMEM scratch (im2col)
+    """
+    t = pl.program_id(1)
+    r0 = t * rt
+    x_ref[...] = jnp.zeros_like(x_ref)          # K pad rows + col pad
+    for dr in range(7):
+        for dc in range(7):
+            band = planes_ref[0, dr % 2, dc % 2, :,
+                              pl.ds(r0 + dr // 2, rt),
+                              pl.ds(dc // 2, wo)]          # (3, rt, wo)
+            x_ref[(dr * 7 + dc) * 3:(dr * 7 + dc) * 3 + 3, :, 0:wo] = band
+    x2 = x_ref[...].reshape(160, rt * wp)
+    y = jax.lax.dot_general(w_ref[...], x2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = jnp.maximum(y * sb_ref[0] + sb_ref[1], 0.0)        # bn + relu
+    out_ref[0] = y.astype(out_dtype).reshape(64, rt, wp)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv1_bn_relu_pallas(x, w, scale, bias, *, interpret: bool = False):
+    """conv1(7x7, stride 2, pad 3) + per-channel scale/bias + relu.
+
+    Args:
+      x: (B, H, W, 3) images (any float dtype; computed in bf16).
+      w: (7, 7, 3, 64) conv kernel (HWIO).
+      scale, bias: (64,) folded FrozenBatchNorm affine.
+    Returns: (B, Ho, Wo, 64) bf16 with Ho = (H+6-7)//2+1.
+    """
+    b, h, wd, cin = x.shape
+    assert cin == 3 and w.shape == (7, 7, 3, 64)
+    ho = (h - 1) // 2 + 1
+    wo = (wd - 1) // 2 + 1
+    wp = max(128, _round_up(wo, 128))
+    rt = _pick_rt(ho, wp)
+
+    # pad 3 left/top; right/bottom so parity planes cover every tap
+    hp2 = _round_up(h + 7, 2)
+    wp2 = _round_up(wd + 7, 2)
+    xp = jnp.zeros((b, hp2, wp2, 3), jnp.bfloat16)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.bfloat16),
+                                      (0, 3, 3, 0))
+    # (B, 2, 2, 3, Hp, Wq) channels-major parity planes
+    planes = xp.reshape(b, hp2 // 2, 2, wp2 // 2, 2, 3)
+    planes = planes.transpose(0, 2, 4, 5, 1, 3)
+
+    # (64, 160) weight: K index = (dr*7+dc)*3 + ch
+    w2 = jnp.zeros((64, 160), jnp.bfloat16)
+    w2 = w2.at[:, :147].set(
+        w.transpose(3, 0, 1, 2).reshape(64, 147).astype(jnp.bfloat16))
+    sb = jnp.stack([scale.astype(jnp.float32),
+                    bias.astype(jnp.float32)]).reshape(2, 64, 1)
+
+    hq, wq = planes.shape[-2:]
+    out = pl.pallas_call(
+        functools.partial(_kernel, rt=rt, wo=wo, wp=wp,
+                          out_dtype=jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((b, 64, ho, wp), jnp.bfloat16),
+        grid=(b, ho // rt),
+        in_specs=[
+            pl.BlockSpec((1, 2, 2, 3, hq, wq), lambda bi, t: (bi, 0, 0, 0,
+                                                              0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 160), lambda bi, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 64, 1), lambda bi, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 64, rt, wp),
+                               lambda bi, t: (bi, 0, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((160, rt, wp), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 64 * 160 * ho * wp,
+            bytes_accessed=b * (hq * wq * 12 * 2 + 64 * ho * wp * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(planes, w2, sb)
+    # back to NHWC, padding sliced off
+    return out[:, :, :, :wo].transpose(0, 2, 3, 1)

@@ -1,0 +1,34 @@
+"""conv1 Pallas kernel vs the XLA conv it replaces (interpret mode on CPU;
+the real-TPU A/B lives in tools/microbench_conv1.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from i2vsgg_tpu.ops.pallas.conv1_kernel import conv1_bn_relu_pallas
+
+
+def _oracle(x, w, scale, bias):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jnp.maximum(y * scale + bias, 0.0)
+
+
+@pytest.mark.parametrize("shape", [(1, 64, 96), (2, 50, 70)])
+def test_conv1_kernel_matches_xla(shape):
+    b, h, w_ = shape
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, h, w_, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+    got = conv1_bn_relu_pallas(x, w, scale, bias, interpret=True)
+    want = _oracle(x, w, scale, bias)
+    assert got.shape == want.shape
+    # bf16 compute in the kernel vs fp32 oracle
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.15)

@@ -85,15 +85,22 @@ def main(argv=None):
 
     from tools.test_det import main as eval_main
     results = {}
-    for rpn_topn, max_det in [(300, 100), (128, 100), (128, 16), (300, 16)]:
+    # (pre_nms, post_nms, max_det): full reference capacity first, then
+    # each serving cut on its own and combined
+    sweep = [(6000, 300, 100), (6000, 128, 100), (1024, 128, 100),
+             (1024, 128, 16), (6000, 300, 16)]
+    for pre_nms, rpn_topn, max_det in sweep:
         t0 = time.time()
         aps = eval_main([
             "--dataset", "MVRD", "--net", args.net, "--bs", "1",
-            "--ic", "--gc", "--max_det", str(max_det),
+            "--ic", "--gc",
             "--save_dir", args.out,
             "--load_name", os.path.join(ckpt_dir, str(step)),
-            "--cfg"] + CFG + ["TEST.RPN_POST_NMS_TOP_N", str(rpn_topn)])
-        key = f"rpn{rpn_topn}_det{max_det}"
+            "--cfg"] + CFG + ["TEST.RPN_POST_NMS_TOP_N", str(rpn_topn),
+                              "TEST.RPN_PRE_NMS_TOP_N", str(pre_nms),
+                              "TEST.MAX_DETECTIONS_PER_IMAGE",
+                              str(max_det)])
+        key = f"pre{pre_nms}_rpn{rpn_topn}_det{max_det}"
         results[key] = {"mAP": float(aps["mAP"]),
                         "eval_s": round(time.time() - t0, 1)}
         print(f"{key}: mAP {results[key]['mAP']:.4f}")

@@ -172,3 +172,81 @@ def make_frame_program(det_model, det_params, sgg_model, sgg_params,
         return _program(det_params, sgg_params, images, im_info)
 
     return frame_program
+
+
+def make_bucketed_program(det_model, det_params, sgg_model, sgg_params,
+                          prd_vecs, cfg: Config, *,
+                          buckets: tuple = (4, 8, 16),
+                          max_per_class: int = 8):
+    """Detection-count pair bucketing: 240 scored pairs at max_det=16 is
+    the WORST case — typical frames have far fewer valid detections, and
+    pair cost grows ~quadratically. This splits the fused program in two:
+
+    1. a detection program (backbone -> proposals -> decode/NMS) that
+       also emits the per-batch max detection count as a scalar,
+    2. one SGG head program per bucket size (compiled lazily), fed the
+       on-device feature map + detections.
+
+    Per batch the smallest bucket >= the actual max count runs. Exactness:
+    a pair valid in bucket b is scored identically in every bucket >= b
+    (same head on the same features; only padding differs). Costs one
+    tiny scalar fetch per batch between the two programs.
+    """
+    from i2vsgg_tpu.models.sgg import SGGModel
+    prd = jnp.asarray(prd_vecs)
+    buckets = tuple(sorted(buckets))
+    max_det = buckets[-1]
+
+    @jax.jit
+    def _det(det_params, images, im_info):
+        out = det_model.apply({"params": det_params}, images, im_info,
+                              mode="inference")
+        dets = decode_detections(out["rois"], out["roi_valid"],
+                                 out["cls_prob"], out["bbox_pred"], im_info,
+                                 cfg, max_det=max_det,
+                                 max_per_class=max_per_class)
+        n_max = jnp.max(jnp.sum(dets.valid.astype(jnp.int32), axis=1))
+        return out["base_feat"], dets, n_max
+
+    _sgg_cache: Dict[int, object] = {}
+
+    def _sgg_for(b: int):
+        if b in _sgg_cache:
+            return _sgg_cache[b]
+        ix1_np, ix2_np = make_pair_indices(b)
+        pair_static = make_union_dedup(ix1_np, ix2_np)
+        ix1 = jnp.asarray(ix1_np)
+        ix2 = jnp.asarray(ix2_np)
+
+        @jax.jit
+        def _sgg(sgg_params, base_feat, im_info, boxes, valid):
+            def one_frame(feat, info, bx, vl):
+                boxes_in = bx * info[2]
+                pair_valid = vl[ix1] & vl[ix2]
+                res = sgg_model.apply(
+                    {"params": sgg_params}, feat[None], info, boxes_in,
+                    ix1, ix2, pair_valid, prd, pair_static=pair_static,
+                    deterministic=True, method=SGGModel.head_on_features)
+                return jax.nn.softmax(res["scores"], -1), pair_valid
+            rel_prob, pair_valid = jax.vmap(one_frame)(
+                base_feat, im_info, boxes, valid)
+            return rel_prob, pair_valid
+
+        _sgg_cache[b] = (_sgg, ix1, ix2)
+        return _sgg_cache[b]
+
+    def frame_program(images, im_info):
+        base_feat, dets, n_max = _det(det_params, images, im_info)
+        n = int(jax.device_get(n_max))            # tiny scalar fetch
+        b = next((x for x in buckets if x >= n), max_det)
+        _sgg, ix1, ix2 = _sgg_for(b)
+        rel_prob, pair_valid = _sgg(sgg_params, base_feat, im_info,
+                                    dets.boxes[:, :b], dets.valid[:, :b])
+        return {
+            "boxes": dets.boxes, "scores": dets.scores,
+            "classes": dets.classes, "det_valid": dets.valid,
+            "rel_prob": rel_prob, "pair_valid": pair_valid,
+            "ix1": ix1, "ix2": ix2, "bucket": b,
+        }
+
+    return frame_program

@@ -121,3 +121,41 @@ def test_frame_program_sharded_over_mesh(fused_models):
     np.testing.assert_allclose(ref["boxes"], out["boxes"], atol=5e-3)
     np.testing.assert_allclose(ref["rel_prob"], out["rel_prob"], atol=5e-3)
     np.testing.assert_array_equal(ref["det_valid"], out["det_valid"])
+
+
+def test_bucketed_program_matches_full(fused_models):
+    """Pair bucketing is exact: a pair valid in the chosen bucket scores
+    identically to the full fused program's same pair (only padding
+    differs), and every valid pair of the full program appears."""
+    from i2vsgg_tpu.serve import make_bucketed_program
+    det, det_params, sgg, sgg_params, prd, md, (h, w) = fused_models
+    full = make_frame_program(det, det_params, sgg, sgg_params, prd, CFG,
+                              max_det=md, max_per_class=4)
+    bucketed = make_bucketed_program(det, det_params, sgg, sgg_params, prd,
+                                     CFG, buckets=(2, md),
+                                     max_per_class=4)
+    b = 2
+    images = jnp.asarray(
+        np.random.RandomState(3).randn(b, h, w, 3).astype(np.float32) * 10)
+    im_info = jnp.tile(jnp.asarray([[h, w, 1.0]], jnp.float32), (b, 1))
+    ref = jax.device_get(full(images, im_info))
+    out = jax.device_get(bucketed(images, im_info))
+    bk = out["bucket"]
+    assert bk in (2, md)
+    np.testing.assert_array_equal(ref["boxes"], out["boxes"])
+
+    # per frame: every valid pair in the FULL program must be present and
+    # equal in the bucketed output
+    for f in range(b):
+        full_pairs = {(int(i), int(j)): ref["rel_prob"][f][k]
+                      for k, (i, j) in enumerate(zip(ref["ix1"],
+                                                     ref["ix2"]))
+                      if ref["pair_valid"][f][k]}
+        got_pairs = {(int(i), int(j)): out["rel_prob"][f][k]
+                     for k, (i, j) in enumerate(zip(out["ix1"],
+                                                    out["ix2"]))
+                     if out["pair_valid"][f][k]}
+        assert set(full_pairs) == set(got_pairs)
+        for key in full_pairs:
+            np.testing.assert_allclose(full_pairs[key], got_pairs[key],
+                                       rtol=1e-5, atol=1e-5)

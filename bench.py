@@ -48,12 +48,19 @@ def main():
                          "matmuls, so the only numerics change is bf16 "
                          "rounding of stored weights "
                          "(disable with --no-bf16-params)")
+    ap.add_argument("--pallas-conv1", action="store_true",
+                    help="route the trunk's conv1 through the Pallas "
+                         "parity-plane matmul kernel (serving path)")
     ap.add_argument("--stage", default="full",
                     choices=("full", "backbone", "det", "det_decode",
                              "train"),
                     help="bisect: backbone/det/+decode/full inference, or "
                          "the full adversarial-DA train step")
     args = ap.parse_args()
+
+    import os
+    if args.pallas_conv1:
+        os.environ["I2VSGG_PALLAS_CONV1"] = "1"
 
     import jax
 

@@ -57,6 +57,8 @@ class FrozenBatchNorm(nn.Module):
         var = self.param("var", nn.initializers.ones, (self.features,))
         mul = jax.lax.stop_gradient(scale * jax.lax.rsqrt(var + self.eps))
         add = jax.lax.stop_gradient(bias - mean * mul)
+        if x is None:                 # folded-affine query (pallas conv1)
+            return mul, add
         return x * mul.astype(x.dtype) + add.astype(x.dtype)
 
 
@@ -75,9 +77,11 @@ class Conv1S2D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_kernel: bool = False):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (7, 7, 3, 64)).astype(self.dtype)
+        if return_kernel:             # raw param for the pallas conv1 path
+            return w
         b, h, wd, _ = x.shape
         import os as _os
         if h % 2 or wd % 2 or _os.environ.get("I2VSGG_S2D") != "1":
@@ -177,9 +181,22 @@ class ResNetTrunk(nn.Module):
     def __call__(self, x):
         n1, n2, n3, _ = RESNET_STAGES[self.depth]
         x = x.astype(self.dtype)
-        x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, name="bn1")(x)
-        x = nn.relu(x)
+        import os as _os
+        if _os.environ.get("I2VSGG_PALLAS_CONV1") == "1":
+            # Pallas parity-plane matmul kernel (serving path; forward
+            # only). Params keep the exact conv1/bn1 tree.
+            from i2vsgg_tpu.ops.pallas.conv1_kernel import \
+                conv1_bn_relu_pallas
+            w = Conv1S2D(dtype=self.dtype, name="conv1")(
+                None, return_kernel=True)
+            mul, add = FrozenBatchNorm(64, name="bn1")(None)
+            x = conv1_bn_relu_pallas(
+                x, w, mul, add,
+                interpret=jax.default_backend() != "tpu").astype(self.dtype)
+        else:
+            x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
+            x = FrozenBatchNorm(64, name="bn1")(x)
+            x = nn.relu(x)
         # caffe-convention maxpool: k3 s2 pad 0 CEIL mode (the reference's
         # '# change', resnet_instance_styleD_bilinear.py:228) — NOT
         # torchvision's pad 1 floor. Ceil mode = implicit -inf pad at the

@@ -36,11 +36,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_rt(ho: int, wp: int) -> int:
-    """Largest divisor of ho keeping the X scratch under ~4.5 MB."""
+    """Largest multiple of 8 (Mosaic sublane tiling) keeping the X scratch
+    under ~4.5 MB; output rows are padded up to a multiple of it."""
     budget = int(4.5e6)
-    best = 1
-    for rt in range(1, ho + 1):
-        if ho % rt == 0 and 160 * rt * wp * 2 <= budget:
+    best = 8
+    for rt in range(8, max(ho, 8) + 8, 8):
+        if 160 * rt * wp * 2 <= budget:
             best = rt
     return best
 
@@ -49,21 +50,27 @@ def _kernel(planes_ref, w_ref, sb_ref, out_ref, x_ref, *, rt, wo, wp,
             out_dtype):
     """One grid step = one row band of one image.
 
-    planes_ref: (1, 2, 2, 3, Hp, Wq) bf16 parity planes
+    planes_ref: (1, 2, 2, 3, Hq, Wq) bf16 parity planes (Wq lane-padded)
     w_ref:      (64, 160) bf16
     sb_ref:     (2, 64, 1) f32 — folded bn scale / bias
     out_ref:    (1, 64, rt, wp)
     x_ref:      (160, rt, wp) bf16 VMEM scratch (im2col)
+
+    The dynamic row start is the 8-aligned r0 only; per-tap offsets
+    (dr//2, dc//2 in 0..3) are STATIC slices of the loaded band value
+    (Mosaic requires dynamic sublane starts to be 8-multiples).
     """
     t = pl.program_id(1)
-    r0 = t * rt
+    r0 = pl.multiple_of(t * rt, 8)
     x_ref[...] = jnp.zeros_like(x_ref)          # K pad rows + col pad
-    for dr in range(7):
-        for dc in range(7):
-            band = planes_ref[0, dr % 2, dc % 2, :,
-                              pl.ds(r0 + dr // 2, rt),
-                              pl.ds(dc // 2, wo)]          # (3, rt, wo)
-            x_ref[(dr * 7 + dc) * 3:(dr * 7 + dc) * 3 + 3, :, 0:wo] = band
+    for py in range(2):
+        for px in range(2):
+            band = planes_ref[0, py, px, :, pl.ds(r0, rt + 8), :]
+            for dr in range(py, 7, 2):
+                for dc in range(px, 7, 2):
+                    t3 = (dr * 7 + dc) * 3
+                    x_ref[t3:t3 + 3, :, 0:wo] = \
+                        band[:, dr // 2:dr // 2 + rt, dc // 2:dc // 2 + wo]
     x2 = x_ref[...].reshape(160, rt * wp)
     y = jax.lax.dot_general(w_ref[...], x2, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -87,15 +94,20 @@ def conv1_bn_relu_pallas(x, w, scale, bias, *, interpret: bool = False):
     wo = (wd - 1) // 2 + 1
     wp = max(128, _round_up(wo, 128))
     rt = _pick_rt(ho, wp)
+    hop = _round_up(ho, rt)               # padded output rows (grid-even)
 
-    # pad 3 left/top; right/bottom so parity planes cover every tap
-    hp2 = _round_up(h + 7, 2)
-    wp2 = _round_up(wd + 7, 2)
+    # pad 3 left/top; right/bottom so parity planes cover every tap of
+    # every (possibly padded) output row; plane rows 8-aligned + 8 slack
+    # for the aligned band loads, plane cols lane-padded
+    hq = _round_up(hop + 8, 8)
+    wq = max(128, _round_up(wo + 4, 128))
+    hp2 = 2 * hq
+    wp2 = 2 * wq
     xp = jnp.zeros((b, hp2, wp2, 3), jnp.bfloat16)
     xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.bfloat16),
                                       (0, 3, 3, 0))
-    # (B, 2, 2, 3, Hp, Wq) channels-major parity planes
-    planes = xp.reshape(b, hp2 // 2, 2, wp2 // 2, 2, 3)
+    # (B, 2, 2, 3, Hq, Wq) channels-major parity planes
+    planes = xp.reshape(b, hq, 2, wq, 2, 3)
     planes = planes.transpose(0, 2, 4, 5, 1, 3)
 
     # (64, 160) weight: K index = (dr*7+dc)*3 + ch
@@ -109,8 +121,8 @@ def conv1_bn_relu_pallas(x, w, scale, bias, *, interpret: bool = False):
     out = pl.pallas_call(
         functools.partial(_kernel, rt=rt, wo=wo, wp=wp,
                           out_dtype=jnp.bfloat16),
-        out_shape=jax.ShapeDtypeStruct((b, 64, ho, wp), jnp.bfloat16),
-        grid=(b, ho // rt),
+        out_shape=jax.ShapeDtypeStruct((b, 64, hop, wp), jnp.bfloat16),
+        grid=(b, hop // rt),
         in_specs=[
             pl.BlockSpec((1, 2, 2, 3, hq, wq), lambda bi, t: (bi, 0, 0, 0,
                                                               0, 0),
@@ -127,10 +139,10 @@ def conv1_bn_relu_pallas(x, w, scale, bias, *, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * 64 * 160 * ho * wp,
-            bytes_accessed=b * (hq * wq * 12 * 2 + 64 * ho * wp * 2),
+            flops=2 * b * 64 * 160 * hop * wp,
+            bytes_accessed=b * (hq * wq * 12 * 2 + 64 * hop * wp * 2),
             transcendentals=0),
         interpret=interpret,
     )(planes, w2, sb)
     # back to NHWC, padding sliced off
-    return out[:, :, :, :wo].transpose(0, 2, 3, 1)
+    return out[:, :, :ho, :wo].transpose(0, 2, 3, 1)

@@ -32,3 +32,19 @@ def test_conv1_kernel_matches_xla(shape):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=0.05, atol=0.15)
+
+
+def test_trunk_env_switch_matches(monkeypatch):
+    """I2VSGG_PALLAS_CONV1=1 routes the trunk's conv1 through the kernel
+    with identical parameters and near-identical output."""
+    from i2vsgg_tpu.models.backbones import ResNetTrunk
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 64, 80, 3).astype(np.float32) * 10)
+    trunk = ResNetTrunk(depth=10, dtype=jnp.float32)
+    params = trunk.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    ref, _ = trunk.apply({"params": params}, x)
+    monkeypatch.setenv("I2VSGG_PALLAS_CONV1", "1")
+    got, _ = trunk.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.05, atol=0.3)

@@ -338,11 +338,14 @@ def ours_ckpts(ckpt_dir, want_steps):
 
 
 def eval_det(ckpt, out_dir, dataset="MVRD"):
-    """VOC mAP on the held-out test split with OUR eval driver."""
+    """VOC mAP on the held-out test split with OUR eval driver.
+
+    bs 4 (all fixture images share one shape, so batching only cuts the
+    per-image tunnel round trips — outputs are per-image identical)."""
     from tools.test_det import main as eval_main
     aps = eval_main([
         "--dataset", dataset, "--net", f"res{HP['depth']}",
-        "--bs", "1", "--ic", "--gc", "--compute_dtype", "float32",
+        "--bs", "4", "--ic", "--gc", "--compute_dtype", "float32",
         "--save_dir", out_dir, "--load_name", ckpt, "--cfg"] + CFG_OVERRIDES)
     return float(aps["mAP"])
 
@@ -701,6 +704,10 @@ def main(argv=None):
     if os.environ.get("I2VSGG_PARITY_TPU") != "1":
         os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
         jax.config.update("jax_platforms", "cpu")
+    # each eval_main call builds a fresh jit closure -> without the
+    # persistent cache every checkpoint eval pays a full (remote) compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # the reference arm trains in full fp32 on CPU; on TPU our convs/matmuls
     # would otherwise run at the default bf16-ish matmul precision — a
     # systematic TRAINING-precision asymmetry between the arms (round-2

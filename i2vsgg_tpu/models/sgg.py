@@ -79,7 +79,7 @@ class VRDHead(nn.Module):
     @nn.compact
     def __call__(self, fmap, obj_boxes, union_boxes_, spatial_fea,
                  ix1, ix2, prd_vecs, *, u_map=None,
-                 deterministic: bool = True):
+                 det_masks=None, deterministic: bool = True):
         """
         Args:
           fmap: (B, H, W, C) backbone feature map (gradient-stopped by caller).
@@ -143,10 +143,28 @@ class VRDHead(nn.Module):
             # [resnet_SGG_emb.py:105-109]. torch's same_padding is SYMMETRIC
             # (2, 2) — flax "SAME" with stride 2 would pad (1, 2) and shift
             # the windows, so pad explicitly
-            z = spatial_fea.astype(self.dtype)
             pad2 = [(2, 2), (2, 2)]
-            z = nn.relu(conv_t(96, (5, 5), 5 * 5 * 2, "conv_lo0",
-                               strides=(2, 2), padding=pad2)(z))
+            lo0 = conv_t(96, (5, 5), 5 * 5 * 2, "conv_lo0",
+                         strides=(2, 2), padding=pad2)
+            if det_masks is not None:
+                # conv_lo0's pre-activation is LINEAR in its two mask
+                # channels: z1(i,j) = relu(S[i] + O[j] - Z) where S/O are
+                # the conv of (mask, 0)/(0, mask) per DETECTION and Z the
+                # bias field (conv of all-zeros). M detections cost
+                # 2M+1 convs instead of P >> 2M pair convs — exact.
+                dm = det_masks.astype(self.dtype)[..., None]   # (M,32,32,1)
+                zch = jnp.zeros_like(dm)
+                stacked = jnp.concatenate([
+                    jnp.concatenate([dm, zch], -1),
+                    jnp.concatenate([zch, dm], -1),
+                    jnp.zeros_like(dm[:1].repeat(2, -1)),
+                ], axis=0)                                # (2M+1, 32, 32, 2)
+                ab = lo0(stacked)
+                mm = dm.shape[0]
+                z = nn.relu(jnp.take(ab, ix1, axis=0)
+                            + jnp.take(ab, mm + ix2, axis=0) - ab[2 * mm])
+            else:
+                z = nn.relu(lo0(spatial_fea.astype(self.dtype)))
             z = nn.relu(conv_t(128, (5, 5), 5 * 5 * 96, "conv_lo1",
                                strides=(2, 2), padding=pad2)(z))
             z = nn.relu(conv_t(64, (8, 8), 8 * 8 * 128, "conv_lo2",
@@ -250,13 +268,15 @@ class SGGModel(nn.Module):
         # dual masks rasterized w.r.t. the union box frame: the reference
         # builds masks of subject/object INSIDE the 32x32 union window
         # (faster_rcnn_SGG_emb.py:255-260 uses image-frame masks of the
-        # subject and object boxes); here: image-frame, matching _getDualMask
-        m_s = dual_mask(im_info[0], im_info[1], sub)        # (P, 32, 32)
-        m_o = dual_mask(im_info[0], im_info[1], obj)
-        spatial = jnp.stack([m_s, m_o], axis=-1)            # (P, 32, 32, 2)
+        # subject and object boxes); here: image-frame, matching _getDualMask.
+        # Rasterized per DETECTION (M masks, not 2P) — the head's conv_lo0
+        # is linear per channel, so the per-pair stack is reconstructed
+        # after the conv (det_masks path in VRDHead; exact).
+        det_masks = dual_mask(im_info[0], im_info[1],
+                              obj_boxes)                    # (M, 32, 32)
 
-        out = self.vrd(base_feat, obj_rois, union_rois, spatial,
-                       ix1, ix2, prd_vecs, u_map=u_map,
+        out = self.vrd(base_feat, obj_rois, union_rois, None,
+                       ix1, ix2, prd_vecs, u_map=u_map, det_masks=det_masks,
                        deterministic=deterministic)
         out["pair_valid"] = pair_valid
         return out

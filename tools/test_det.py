@@ -39,10 +39,21 @@ def run_detection(model, params, loader, cfg, num_classes, max_det=100):
             im_info, cfg, max_det=max_det,
             max_per_class=max_det, score_thresh=0.0)
 
+    # keep a window of batches in flight: a synchronous device_get per
+    # batch serializes upload/compute/download through the axon tunnel
+    # (measured 0.6 im/s; dispatch is async, only the fetch blocks)
+    from collections import deque
+    pending = deque()
     for batch in loader:
         dets = infer(params, jnp.asarray(batch["image"]),
                      jnp.asarray(batch["im_info"]))
-        yield batch["indices"], jax.device_get(dets)
+        pending.append((batch["indices"], dets))
+        if len(pending) >= 6:
+            idx0, d0 = pending.popleft()
+            yield idx0, jax.device_get(d0)
+    while pending:
+        idx0, d0 = pending.popleft()
+        yield idx0, jax.device_get(d0)
 
 
 def main(argv=None):

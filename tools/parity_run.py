@@ -542,7 +542,8 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
             z((4, 4)), z((4,), jnp.int32), z((n_pairs,), jnp.int32),
             z((n_pairs,), jnp.int32), z((n_pairs,), bool), prd)["params"]
 
-    params = restore_intersection(ckpt_dir, step, init_params(4))
+    params = jax.device_put(
+        restore_intersection(ckpt_dir, step, init_params(4)))
 
     # fixed shapes (GB boxes / PB pairs) so ONE jitted program serves every
     # frame — per-call tracing through the axon tunnel would dominate the

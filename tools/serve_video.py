@@ -82,6 +82,7 @@ def main(argv=None):
             os.path.dirname(args.load_name),
             int(os.path.basename(args.load_name)), det_params)
         print(f"detector: {args.load_name}")
+    det_params = jax.device_put(det_params)   # commit once
 
     # the head must be built with the SAME pooling the SGG weights were
     # trained on (fc6/fc7 trained on quantized max-RoIPool features are NOT
@@ -119,6 +120,7 @@ def main(argv=None):
             os.path.dirname(ns.sgg_load_name),
             int(os.path.basename(ns.sgg_load_name)), sgg_params)
         print(f"sgg head: {ns.sgg_load_name}")
+    sgg_params = jax.device_put(sgg_params)   # commit once
 
     program = make_frame_program(det, det_params, sgg, sgg_params, prd_np,
                                  cfg, max_det=md)

@@ -123,6 +123,8 @@ def main(argv=None):
         step = int(os.path.basename(args.load_name))
         params = restore_intersection(ckpt_dir, step, params)
         print(f"loaded {args.load_name}")
+    params = jax.device_put(params)   # commit once (host numpy would
+                                      # re-upload per jitted call)
 
     frame_map = None
     if args.frame_map and os.path.exists(args.frame_map):

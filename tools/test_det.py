@@ -42,18 +42,39 @@ def run_detection(model, params, loader, cfg, num_classes, max_det=100):
     # keep a window of batches in flight: a synchronous device_get per
     # batch serializes upload/compute/download through the axon tunnel
     # (measured 0.6 im/s; dispatch is async, only the fetch blocks)
+    import time as _time
     from collections import deque
+    phase = {"load": 0.0, "dispatch": 0.0, "fetch": 0.0, "n": 0}
     pending = deque()
-    for batch in loader:
+    it = iter(loader)
+    while True:
+        t0 = _time.time()
+        batch = next(it, None)
+        phase["load"] += _time.time() - t0
+        if batch is None:
+            break
+        t0 = _time.time()
         dets = infer(params, jnp.asarray(batch["image"]),
                      jnp.asarray(batch["im_info"]))
+        phase["dispatch"] += _time.time() - t0
         pending.append((batch["indices"], dets))
         if len(pending) >= 6:
             idx0, d0 = pending.popleft()
-            yield idx0, jax.device_get(d0)
+            t0 = _time.time()
+            out = jax.device_get(d0)
+            phase["fetch"] += _time.time() - t0
+            phase["n"] += 1
+            yield idx0, out
     while pending:
         idx0, d0 = pending.popleft()
-        yield idx0, jax.device_get(d0)
+        t0 = _time.time()
+        out = jax.device_get(d0)
+        phase["fetch"] += _time.time() - t0
+        phase["n"] += 1
+        yield idx0, out
+    print(f"  eval phases: load {phase['load']:.1f}s "
+          f"dispatch {phase['dispatch']:.1f}s fetch {phase['fetch']:.1f}s "
+          f"({phase['n']} batches)", flush=True)
 
 
 def main(argv=None):

@@ -70,6 +70,9 @@ def parse_args(argv=None):
     # vrd knobs [parser_func.py:139-196]
     p.add_argument("--num_classes", default=15, type=int)
     p.add_argument("--num_relations", default=62, type=int)
+    p.add_argument("--max_pairs", default=64, type=int,
+                   help="static per-image pair padding in SGG training "
+                        "(the 4096-wide fc6/fc7 cost scales with it)")
     p.add_argument("--source_so_prior_path",
                    default="./data/MVidVRD/source_so_prior.pkl")
     p.add_argument("--source_gt_rels_path",

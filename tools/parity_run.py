@@ -520,9 +520,10 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
         "--source_gt_rels_path",
         os.path.join(data_root, "MVRD", "source_gt_rels.pkl"),
         "--compute_dtype", "float32", "--disp_interval", "50",
-        "--s", session,
+        "--s", session, "--max_pairs", "12",
         "--save_dir", out_dir, "--load_name", det_ckpt,
-        "--cfg"] + CFG_OVERRIDES + ["RNG_SEED", str(_run_seed(seed))])
+        "--cfg"] + CFG_OVERRIDES + ["RNG_SEED", str(_run_seed(seed)),
+                                    "TRAIN.MAX_NUM_GT_BOXES", "4"])
 
     ckpt_dir = os.path.join(out_dir, f"res{HP['depth']}", "MVRD_SGG",
                             f"session_{session}")

@@ -87,7 +87,7 @@ def main(argv=None):
     n_rel = prd_vecs.shape[0]
     bs = args.batch_size
     g = cfg.TRAIN.MAX_NUM_GT_BOXES
-    max_pairs = 64
+    max_pairs = args.max_pairs
 
     # gt_truncate="first": relation triples index the ORIGINAL annotation
     # order, so crowded images must keep the first g boxes in order (a

@@ -59,9 +59,6 @@ def main():
     args = ap.parse_args()
 
     import os
-    if args.pallas_conv1:
-        os.environ["I2VSGG_PALLAS_CONV1"] = "1"
-
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -139,6 +136,10 @@ def main():
     det_params = jax.device_put(det_params, dev)
     sgg_params = jax.device_put(sgg_params, dev)
     log(f"init: {time.time() - t0:.1f}s")
+    if args.pallas_conv1:
+        # set AFTER the CPU-side param init: the Pallas kernel can't lower
+        # for the CPU backend, and param trees are flag-independent
+        os.environ["I2VSGG_PALLAS_CONV1"] = "1"
 
     if args.stage == "train":
         from i2vsgg_tpu.train.det_da import (create_train_state,

@@ -70,6 +70,11 @@ def parse_args(argv=None):
     # vrd knobs [parser_func.py:139-196]
     p.add_argument("--num_classes", default=15, type=int)
     p.add_argument("--num_relations", default=62, type=int)
+    p.add_argument("--zero_init_residual", action="store_true",
+                   help="zero every bottleneck's bn3 scale at init — the "
+                        "standard from-scratch ResNet recipe (with frozen "
+                        "identity BN the activation variance otherwise "
+                        "doubles per block and overflows bf16)")
     p.add_argument("--max_pairs", default=64, type=int,
                    help="static per-image pair padding in SGG training "
                         "(the 4096-wide fc6/fc7 cost scales with it)")

@@ -66,11 +66,15 @@ def _kernel(planes_ref, w_ref, sb_ref, out_ref, x_ref, *, rt, wo, wp,
     for py in range(2):
         for px in range(2):
             band = planes_ref[0, py, px, :, pl.ds(r0, rt + 8), :]
-            for dr in range(py, 7, 2):
-                for dc in range(px, 7, 2):
+            # hoist the (unaligned) LANE slice out of the tap loop: one
+            # rotation per (px, dc//2) instead of one per (dr, dc) —
+            # Mosaic lane rotations dominated the per-tap form
+            for dc in range(px, 7, 2):
+                shifted = band[:, :, dc // 2:dc // 2 + wo]   # (3,rt+8,wo)
+                for dr in range(py, 7, 2):
                     t3 = (dr * 7 + dc) * 3
                     x_ref[t3:t3 + 3, :, 0:wo] = \
-                        band[:, dr // 2:dr // 2 + rt, dc // 2:dc // 2 + wo]
+                        shifted[:, dr // 2:dr // 2 + rt, :]
     x2 = x_ref[...].reshape(160, rt * wp)
     y = jax.lax.dot_general(w_ref[...], x2, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)

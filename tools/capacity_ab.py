@@ -75,7 +75,7 @@ def main(argv=None):
             "--epochs", "99", "--max_steps", str(args.steps),
             "--lr", "5e-4", "--lr_decay_step", "5",
             "--eta", "0.1", "--eta_style", "0.001", "--style_lambda", "1",
-            "--clip", "10", "--ic", "--gc",
+            "--clip", "10", "--ic", "--gc", "--zero_init_residual",
             "--disp_interval", "20", "--s", "902",
             "--save_dir", args.out, "--cfg"] + CFG)
 

@@ -82,6 +82,18 @@ def main(argv=None):
          "sampling2": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
         dummy["image"], dummy["im_info"], dummy["gt_boxes"],
         mode="train_source")["params"]
+    if args.zero_init_residual:
+        def _zero_bn3(d, path=""):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    if k == "bn3":
+                        v["scale"] = jnp.zeros_like(v["scale"])
+                    else:
+                        _zero_bn3(v, path + "/" + k)
+        params = jax.tree.map(lambda x: x, params)     # shallow copy ok
+        params = jax.device_get(params)
+        _zero_bn3(params)
+        print("zero-init-residual: bn3 scales zeroed")
 
     schedule = step_decay_schedule(args.lr, args.lr_decay_step,
                                    args.lr_decay_gamma, steps_per_epoch)

@@ -36,6 +36,9 @@ def main():
                     help="TEST.RPN_POST_NMS_TOP_N override (0 = config "
                          "default). 128 is the quality-validated serving "
                          "capacity (see PARITY_RUNS.md / PERF.md)")
+    ap.add_argument("--pre-nms", type=int, default=0,
+                    help="TEST.RPN_PRE_NMS_TOP_N override (0 = default "
+                         "6000); quality A/B in tools/capacity_ab.py")
     ap.add_argument("--num-classes", type=int, default=16)
     ap.add_argument("--num-relations", type=int, default=26)
     ap.add_argument("--bf16-params", action=argparse.BooleanOptionalAction,
@@ -83,10 +86,14 @@ def main():
     log(f"device: {dev} ({dev.platform})")
 
     cfg = Config()
+    overrides = []
     if args.rpn_topn:
+        overrides += ["TEST.RPN_POST_NMS_TOP_N", str(args.rpn_topn)]
+    if args.pre_nms:
+        overrides += ["TEST.RPN_PRE_NMS_TOP_N", str(args.pre_nms)]
+    if overrides:
         from i2vsgg_tpu.config import cfg_from_list
-        cfg = cfg_from_list(["TEST.RPN_POST_NMS_TOP_N",
-                             str(args.rpn_topn)], cfg)
+        cfg = cfg_from_list(overrides, cfg)
     b, h, w = args.batch, args.height, args.width
     images = jnp.asarray(
         np.random.RandomState(0).randn(b, h, w, 3).astype(np.float32) * 20)

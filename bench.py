@@ -32,13 +32,14 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--max-det", type=int, default=16)
-    ap.add_argument("--rpn-topn", type=int, default=0,
-                    help="TEST.RPN_POST_NMS_TOP_N override (0 = config "
-                         "default). 128 is the quality-validated serving "
-                         "capacity (see PARITY_RUNS.md / PERF.md)")
-    ap.add_argument("--pre-nms", type=int, default=0,
-                    help="TEST.RPN_PRE_NMS_TOP_N override (0 = default "
-                         "6000); quality A/B in tools/capacity_ab.py")
+    ap.add_argument("--rpn-topn", type=int, default=128,
+                    help="TEST.RPN_POST_NMS_TOP_N (default 128 = the "
+                         "quality-validated serving capacity, BENCH_CONFIG"
+                         ".md; 0 = config default 300)")
+    ap.add_argument("--pre-nms", type=int, default=1024,
+                    help="TEST.RPN_PRE_NMS_TOP_N (default 1024, "
+                         "quality-validated: tools/capacity_ab.py; 0 = "
+                         "config default 6000)")
     ap.add_argument("--num-classes", type=int, default=16)
     ap.add_argument("--num-relations", type=int, default=26)
     ap.add_argument("--bf16-params", action=argparse.BooleanOptionalAction,

@@ -90,6 +90,11 @@ def parse_args(argv=None):
     p.add_argument("--vrd_task", default="rel_det", type=str,
                    choices=("rel_det", "pre_det"))
     p.add_argument("--vrd_lr", default=1e-5, type=float)
+    p.add_argument("--decay_spe", default=0, type=int,
+                   help="steps-per-epoch anchor for the SGG x0.9/epoch lr "
+                        "decay; 0 = use the loader's length. Parity runs "
+                        "pass the pair-bearing image count so both arms "
+                        "decay at identical update counts")
     p.add_argument("--glove_path", default="./models/glove.6B.300d.txt")
     p.add_argument("--predicate_file",
                    default="./data/MVidVRD/predicates.json")

@@ -34,7 +34,14 @@ from i2vsgg_tpu.train.det_da import TrainState, create_train_state
 
 def sgg_optimizer(vrd_lr: float | Callable[[int], float], cfg: Config):
     """SGD(momentum) over the vrd head only; trunk frozen.
-    [trainval_net_SGG_emb.py:129-148]"""
+
+    Param-group semantics match the reference driver exactly
+    [trainval_net_SGG_emb.py:129-148]: vrd WEIGHTS at ``vrd_lr`` with
+    ``cfg.TRAIN.WEIGHT_DECAY``; vrd BIASES at ``2x vrd_lr`` (DOUBLE_BIAS)
+    with zero decay (BIAS_DECAY=False). Round-3 fix: the previous version
+    applied single-lr + decay-on-everything to the whole head — a
+    systematic optimizer asymmetry vs the reference in parity runs.
+    """
     t = cfg.TRAIN
     if not callable(vrd_lr):
         base = float(vrd_lr)
@@ -45,16 +52,25 @@ def sgg_optimizer(vrd_lr: float | Callable[[int], float], cfg: Config):
     def label(params):
         def one(path, _):
             top = getattr(path[0], "key", str(path[0]))
-            return "vrd" if top != "trunk" else "frozen"
+            if top == "trunk":
+                return "frozen"
+            leaf = getattr(path[-1], "key", str(path[-1]))
+            return "bias" if leaf == "bias" else "weight"
         return jax.tree_util.tree_map_with_path(one, params)
 
-    vrd_chain = optax.chain(
-        optax.add_decayed_weights(t.WEIGHT_DECAY),
-        optax.trace(decay=t.MOMENTUM),
-        optax.scale_by_schedule(lambda step: -schedule(step)),
-    )
+    def group(double_lr: bool, decay: bool):
+        chain = []
+        if decay and t.WEIGHT_DECAY:
+            chain.append(optax.add_decayed_weights(t.WEIGHT_DECAY))
+        chain.append(optax.trace(decay=t.MOMENTUM))
+        mult = 2.0 if (double_lr and t.DOUBLE_BIAS) else 1.0
+        chain.append(optax.scale_by_schedule(
+            lambda step: -mult * schedule(step)))
+        return optax.chain(*chain)
+
     return optax.multi_transform(
-        {"vrd": vrd_chain, "frozen": optax.set_to_zero()}, label)
+        {"weight": group(False, True), "bias": group(True, bool(t.BIAS_DECAY)),
+         "frozen": optax.set_to_zero()}, label)
 
 
 def sgg_loss(params, model, batch: Dict[str, Any], prd_vecs, rngs):

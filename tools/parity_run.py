@@ -358,6 +358,22 @@ def eval_det(ckpt, out_dir, dataset="MVRD"):
 # ---------------------------------------------------------------------------
 
 N_REL = 5                      # geometry predicates (tests.fixtures)
+SGG_LR = 1e-3                  # Stage-B vrd lr, shared by both arms
+
+
+def _sgg_spe():
+    """Pair-bearing trainval image count == effective updates per epoch in
+    BOTH arms (our driver skips zero-pair batches; the ref arm's data list
+    excludes them) — the shared anchor for the x0.9/epoch decay."""
+    return len(_stage_b_data("trainval"))
+
+
+def sgg_lr_at(step, spe):
+    """The reference Stage-B schedule: vrd_lr x0.9 at every epoch boundary
+    [scripts/SGG_emb_resnet.sh lr_decay_step=1 gamma=0.9,
+    trainval_net_SGG_emb.py:199-202], step-anchored identically in both
+    arms (round-3 fix: the ref arm previously ran CONSTANT lr)."""
+    return SGG_LR * (0.9 ** (step // max(spe, 1)))
 
 
 def _prd_vecs():
@@ -433,8 +449,20 @@ def train_reference_sgg(data_root, out_dir, steps, seed=0):
     obj_vecs = np.zeros((16, 300), np.float32)
     head = VRD(vargs, all_obj_vecs=obj_vecs, all_prd_vecs=_prd_vecs())
     head.train()
-    opt = torch.optim.SGD(head.parameters(), lr=1e-3,
-                          momentum=HP["momentum"])
+    # reference driver's param groups [trainval_net_SGG_emb.py:129-148]:
+    # weights at vrd_lr + weight decay, biases at 2x lr + no decay. The
+    # round-2 harness used a single constant-lr no-decay group here while
+    # OUR arm ran the real recipe (x0.9/epoch decay + wd + bias split) — a
+    # systematic arm asymmetry, fixed for the round-3 reruns.
+    groups = []
+    for key, value in dict(head.named_parameters()).items():
+        if "bias" in key:
+            groups.append({"params": [value], "lr": SGG_LR * 2,
+                           "weight_decay": 0.0})
+        else:
+            groups.append({"params": [value], "lr": SGG_LR,
+                           "weight_decay": HP["weight_decay"]})
+    opt = torch.optim.SGD(groups, momentum=HP["momentum"])
 
     data = _stage_b_data("trainval")
     fmaps = {}
@@ -463,6 +491,7 @@ def train_reference_sgg(data_root, out_dir, steps, seed=0):
         ixo = np.asarray([p[1] for p in pairs])
         return b5, rel_boxes, spatial, ixs, ixo
 
+    spe = len(data)
     step = t0 = 0
     t0 = time.time()
     while step < steps:
@@ -474,6 +503,9 @@ def train_reference_sgg(data_root, out_dir, steps, seed=0):
             loss = head.criterion(scores, target)
             opt.zero_grad()
             loss.backward()
+            cur = sgg_lr_at(step, spe)
+            for g in opt.param_groups:
+                g["lr"] = cur * (2.0 if g["weight_decay"] == 0 else 1.0)
             opt.step()
             step += 1
             if step % 50 == 0:
@@ -512,11 +544,13 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
     det_ckpt = save_converted(sd, imdb_s, out_dir, "shared", 0)
 
     session = str(951 + seed)
-    epochs = max(1, -(-steps // 36))
+    spe = _sgg_spe()      # effective (pair-bearing) updates per epoch
+    epochs = max(1, -(-steps // max(spe, 1)))
     sgg_main([
         "--dataset", "MVRD", "--net", f"res{HP['depth']}", "--bs", "1",
         "--epochs", str(epochs), "--max_steps", str(steps),
-        "--vrd_lr", "1e-3", "--num_relations", str(N_REL),
+        "--vrd_lr", str(SGG_LR), "--decay_spe", str(spe),
+        "--num_relations", str(N_REL),
         "--source_gt_rels_path",
         os.path.join(data_root, "MVRD", "source_gt_rels.pkl"),
         "--compute_dtype", "float32", "--disp_interval", "50",
@@ -662,15 +696,21 @@ def eval_sgg(score_fn):
 
 
 def _save_results(out, stage, results):
+    """Read-modify-write under an fcntl lock: parity campaigns run the CPU
+    (reference) and TPU (ours) lanes as concurrent processes writing
+    different keys of the same JSON."""
+    import fcntl
     os.makedirs(out, exist_ok=True)
     path = os.path.join(out, f"parity_{stage}.json")
-    prev = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            prev = json.load(f)
-    prev.update(results)
-    with open(path, "w") as f:
-        json.dump(prev, f, indent=1)
+    with open(os.path.join(out, ".results.lock"), "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        prev = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+        prev.update(results)
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=1)
 
 
 def main(argv=None):

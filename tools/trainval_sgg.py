@@ -119,9 +119,14 @@ def main(argv=None):
         params = restore_sgg_init(ld, ls, params)
         print(f"trunk restored from Stage-A checkpoint {args.load_name}")
 
-    # reference decays vrd_lr by 0.9 every epoch (scripts/SGG_emb_resnet.sh)
+    # reference decays vrd_lr by 0.9 every epoch (scripts/SGG_emb_resnet.sh);
+    # the step counter only advances on effective (pair-bearing) updates,
+    # so anchor the decay on that count (--decay_spe when the caller knows
+    # the pair-bearing image count, else the loader length)
+    decay_spe = args.decay_spe or steps_per_epoch
+
     def schedule(step):
-        return args.vrd_lr * (0.9 ** (step // max(steps_per_epoch, 1)))
+        return args.vrd_lr * (0.9 ** (step // max(decay_spe, 1)))
 
     tx = sgg_optimizer(schedule, cfg)
     state = create_train_state(params, tx)
@@ -155,6 +160,12 @@ def main(argv=None):
                     n = int(batch["num_boxes"][bi])
                     ix1[bi], ix2[bi], labels[bi], valid[bi] = \
                         build_pair_batch(rels, n, max_pairs, n_rel)
+                if not valid.any():
+                    # no relation annotations in this batch: the reference
+                    # has no loss to compute for such images — skip without
+                    # consuming a step (keeps effective-update counts and
+                    # the lr schedule aligned with pair-bearing data)
+                    continue
                 sgg_batch = shard_batch({
                     "image": batch["image"], "im_info": batch["im_info"],
                     "obj_boxes": batch["gt_boxes"][:, :, :4],

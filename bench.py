@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--pallas-conv1", action="store_true",
                     help="route the trunk's conv1 through the Pallas "
                          "parity-plane matmul kernel (serving path)")
+    ap.add_argument("--pallas-bottleneck",
+                    action=argparse.BooleanOptionalAction, default=False,
+                    help="run identity-bottleneck chains (layer3) through "
+                         "the VMEM-resident fused Pallas kernel")
     ap.add_argument("--stage", default="full",
                     choices=("full", "backbone", "det", "det_decode",
                              "train"),
@@ -148,6 +152,10 @@ def main():
         # set AFTER the CPU-side param init: the Pallas kernel can't lower
         # for the CPU backend, and param trees are flag-independent
         os.environ["I2VSGG_PALLAS_CONV1"] = "1"
+    if args.pallas_bottleneck:
+        os.environ["I2VSGG_PALLAS_BOTTLENECK"] = "1"      # (same caveat)
+    else:
+        os.environ.pop("I2VSGG_PALLAS_BOTTLENECK", None)
 
     if args.stage == "train":
         from i2vsgg_tpu.train.det_da import (create_train_state,

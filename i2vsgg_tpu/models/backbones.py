@@ -103,54 +103,82 @@ class Conv1S2D(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-class Conv1x1AsMatmul(nn.Module):
-    """1x1 stride-1 conv as an explicit (R*HW, C) @ (C, F) matmul for tiny
-    spatial grids — the flattened NHWC view is free, and the GEMM shape is
-    perfect (two conv rewrites of the 3x3 measured SLOWER; see PERF.md).
-    Same 'kernel' param shape/name as nn.Conv for checkpoint parity."""
+class BNConv(nn.Module):
+    """No-bias conv with a queryable raw kernel (call with ``x=None``) so
+    FrozenBN affines can be folded into fused Pallas kernels. Param
+    name/shape/init match ``nn.Conv`` ('kernel', (k, k, in, out),
+    lecun_normal) — checkpoints are unchanged. On tiny spatial grids
+    (per-roi head inputs) a 1x1 stride-1 conv runs as an explicit
+    (R*HW, C) @ (C, F) matmul — the flattened NHWC view is free, and the
+    GEMM shape is perfect (two conv rewrites of the 3x3 measured SLOWER;
+    see PERF.md)."""
     features: int
+    in_features: int
+    kernel: int = 1
+    stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        r, h, w, c = x.shape
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (1, 1, c, self.features))
-        out = (x.reshape(r * h * w, c)
-               @ k.reshape(c, self.features).astype(self.dtype))
-        return out.reshape(r, h, w, self.features)
+    def __call__(self, x=None):
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, self.in_features, self.features))
+        if x is None:
+            return w
+        small = x.shape[1] * x.shape[2] <= 64     # per-roi head grids
+        if small and k == 1 and self.stride == 1:
+            r, h, wd, c = x.shape
+            out = (x.reshape(r * h * wd, c)
+                   @ w.reshape(c, self.features).astype(self.dtype))
+            return out.reshape(r, h, wd, self.features)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class Bottleneck(nn.Module):
+    """Caffe-convention bottleneck (stride on the first 1x1 conv).
+
+    setup-style so the fused serving path can read raw kernels + folded
+    BN affines via ``folded()`` without running the block."""
     planes: int
+    in_features: int
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x):
-        small = x.shape[1] * x.shape[2] <= 64     # per-roi head grids
-
-        def conv(f, k, s, name):
-            if small and k == 1 and s == 1:
-                return Conv1x1AsMatmul(f, dtype=self.dtype, name=name)
-            return nn.Conv(
-                f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
-                use_bias=False, dtype=self.dtype, name=name)
-        residual = x
-        # caffe convention: stride on the first 1x1 conv
-        out = conv(self.planes, 1, self.stride, "conv1")(x)
-        out = FrozenBatchNorm(self.planes, name="bn1")(out)
-        out = nn.relu(out)
-        out = conv(self.planes, 3, 1, "conv2")(out)
-        out = FrozenBatchNorm(self.planes, name="bn2")(out)
-        out = nn.relu(out)
-        out = conv(self.planes * 4, 1, 1, "conv3")(out)
-        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+    def setup(self):
+        p, dt = self.planes, self.dtype
+        self.conv1 = BNConv(p, self.in_features, 1, self.stride, dt)
+        self.bn1 = FrozenBatchNorm(p)
+        self.conv2 = BNConv(p, p, 3, 1, dt)
+        self.bn2 = FrozenBatchNorm(p)
+        self.conv3 = BNConv(p * 4, p, 1, 1, dt)
+        self.bn3 = FrozenBatchNorm(p * 4)
         if self.downsample:
-            residual = conv(self.planes * 4, 1, self.stride, "downsample_conv")(x)
-            residual = FrozenBatchNorm(self.planes * 4, name="downsample_bn")(residual)
+            self.downsample_conv = BNConv(p * 4, self.in_features, 1,
+                                          self.stride, dt)
+            self.downsample_bn = FrozenBatchNorm(p * 4)
+
+    def __call__(self, x):
+        residual = x
+        out = nn.relu(self.bn1(self.conv1(x)))
+        out = nn.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample:
+            residual = self.downsample_bn(self.downsample_conv(x))
         return nn.relu(out + residual)
+
+    def folded(self):
+        """(w1', b1, w3', b3, w2', b2) for the fused identity-chain kernel
+        (requires stride 1, no downsample)."""
+        from i2vsgg_tpu.ops.pallas.bottleneck_kernel import fold_block_params
+        assert not self.downsample and self.stride == 1
+        return fold_block_params(self.conv1(None), self.bn1(None),
+                                 self.conv2(None), self.bn2(None),
+                                 self.conv3(None), self.bn3(None))
 
 
 class ResNetStage(nn.Module):
@@ -161,11 +189,36 @@ class ResNetStage(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = Bottleneck(self.planes, self.stride, downsample=True,
+        cin = x.shape[-1]
+        x = Bottleneck(self.planes, cin, self.stride, downsample=True,
                        dtype=self.dtype, name="block0")(x)
-        for i in range(1, self.blocks):
-            x = Bottleneck(self.planes, 1, dtype=self.dtype, name=f"block{i}")(x)
+        tail = [Bottleneck(self.planes, self.planes * 4, dtype=self.dtype,
+                           name=f"block{i}")
+                for i in range(1, self.blocks)]
+        if tail and _use_fused_chain(x, self.planes):
+            from i2vsgg_tpu.ops.pallas.bottleneck_kernel import \
+                bottleneck_chain_pallas
+            w1, b1, w3, b3, w2, b2 = (jnp.stack(t) for t in zip(
+                *[blk.folded() for blk in tail]))
+            return bottleneck_chain_pallas(
+                x, w1, b1, w3, b3, w2, b2,
+                interpret=jax.default_backend() != "tpu").astype(self.dtype)
+        for blk in tail:
+            x = blk(x)
         return x
+
+
+def _use_fused_chain(x, planes) -> bool:
+    """Gate for the VMEM-resident identity-chain kernel: opt-in serving
+    path (forward-only), full-image fmaps that fit the budget."""
+    import os as _os
+    if _os.environ.get("I2VSGG_PALLAS_BOTTLENECK") != "1":
+        return False
+    from i2vsgg_tpu.ops.pallas.bottleneck_kernel import chain_vmem_bytes
+    b, h, w, c = x.shape
+    if c != planes * 4 or c % 128 or planes % 128:
+        return False
+    return chain_vmem_bytes(h, w, c, planes) <= int(14.5e6)
 
 
 class ResNetTrunk(nn.Module):

@@ -218,7 +218,9 @@ def _use_fused_chain(x, planes) -> bool:
     b, h, w, c = x.shape
     if c != planes * 4 or c % 128 or planes % 128:
         return False
-    return chain_vmem_bytes(h, w, c, planes) <= int(14.5e6)
+    # layer3 at the 600x960 serving shape estimates ~14.9 MB; Mosaic's
+    # hard limit is ~16 MB/core
+    return chain_vmem_bytes(h, w, c, planes) <= int(15.2e6)
 
 
 class ResNetTrunk(nn.Module):

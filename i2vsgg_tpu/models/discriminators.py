@@ -91,9 +91,40 @@ class NetDPixel(nn.Module):
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
 
+class RawDense(nn.Module):
+    """Dense layer whose (kernel, bias) are directly queryable (call with
+    no argument). Param names/shapes match ``nn.Dense`` exactly."""
+    features: int
+    in_features: int
+    kernel_init: object
+    bias_init: object
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x=None):
+        k = self.param("kernel", self.kernel_init,
+                       (self.in_features, self.features))
+        b = self.param("bias", self.bias_init, (self.features,))
+        if x is None:
+            return k, b
+        return x @ k.astype(self.dtype) + b.astype(self.dtype)
+
+
 class NetDStyle(nn.Module):
     """Factorized bilinear style discriminator on (B, H, W, 512) features.
     [resnet_instance_styleD_bilinear.py:85-146]
+
+    The reference computes (fc_1 x) * (fc_2 x) per position and sums over
+    rank AND spatial dims BEFORE the signed-sqrt (`:129-137`) — so the
+    pooled pre-activation is a quadratic form in the 512x512 spatial Gram
+    matrix G = sum_p x_p x_p^T:
+
+        z[d] = sum_k w1_dk^T G w2_dk  +  c2.(W1^T s) + c1.(W2^T s)
+               + P * c1.c2,            s = sum_p x_p,  P = HW
+
+    Computing G first costs ~8x fewer FLOPs than materializing the two
+    (HW, dim*rank) projections (48 vs 377 GFLOP at 8x600x960) and is
+    EXACT — same math, different association order.
     """
     context: bool = False
     dim: int = 512
@@ -103,20 +134,32 @@ class NetDStyle(nn.Module):
     @nn.compact
     def __call__(self, x, lamb=1.0):
         from i2vsgg_tpu.models.inits import kaiming_fan_out, torch_linear_bias
+        f32 = jnp.float32
         b = x.shape[0]
+        cin = x.shape[-1]
         x = grad_reverse(x.astype(self.dtype), jnp.asarray(lamb, self.dtype))
-        x = x.reshape(b, -1, x.shape[-1])                    # (B, HW, 512)
+        x = x.reshape(b, -1, cin)                            # (B, HW, 512)
+        p = x.shape[1]
         # reference init: kaiming_normal fan_out on the weights, torch
-        # Linear default on the biases [resnet_instance_styleD_bilinear.py:104-118]
-        fc = lambda f, fan_in, name: nn.Dense(
-            f, dtype=self.dtype, kernel_init=kaiming_fan_out(),
-            bias_init=torch_linear_bias(fan_in), name=name)
-        x1 = fc(self.dim * self.rank, x.shape[-1], "fc_1")(x)
-        x2 = fc(self.dim * self.rank, x.shape[-1], "fc_2")(x)
-        z = (x1 * x2).reshape(b, -1, self.dim, self.rank)
-        # the rank+spatial sums accumulate over HW*rank elements -> fp32
-        z = jnp.sum(z.astype(jnp.float32), axis=-1)          # (B, HW, dim)
-        z = jnp.sum(z, axis=1)                               # (B, dim)
+        # Linear default on the biases [resnet_…:104-118]; param tree is
+        # identical to the previous nn.Dense formulation
+        w1, c1 = RawDense(self.dim * self.rank, cin, kaiming_fan_out(),
+                          torch_linear_bias(cin), name="fc_1")()
+        w2, c2 = RawDense(self.dim * self.rank, cin, kaiming_fan_out(),
+                          torch_linear_bias(cin), name="fc_2")()
+        g = jnp.einsum("bpc,bpd->bcd", x, x,
+                       preferred_element_type=f32)           # (B, 512, 512)
+        s = jnp.sum(x.astype(f32), axis=1)                   # (B, 512)
+        m = jnp.einsum("bcd,di->bci", g.astype(self.dtype),
+                       w2.astype(self.dtype),
+                       preferred_element_type=f32)           # (B, 512, DR)
+        t = jnp.einsum("bci,ci->bi", m, w1.astype(f32))      # (B, DR)
+        u1 = s @ w1.astype(f32)
+        u2 = s @ w2.astype(f32)
+        c1 = c1.astype(f32)
+        c2 = c2.astype(f32)
+        z = t + c2 * u1 + c1 * u2 + float(p) * c1 * c2
+        z = z.reshape(b, self.dim, self.rank).sum(-1)        # (B, dim)
         z = jnp.sqrt(nn.relu(z)) - jnp.sqrt(nn.relu(-z))     # signed sqrt
         z = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
         out = jax.nn.sigmoid(nn.Dense(

@@ -74,14 +74,40 @@ def sgd_reference(lr_schedule: Callable[[int], float] | float,
             lambda step: -mult * lr_schedule(step)))
         return optax.chain(*chain)
 
+    label_fn = make_label_fn(frozen_prefixes)
     tx = optax.multi_transform(
         {"weight": group(False, True),
          "bias": group(True, bool(t.BIAS_DECAY)),
          "frozen": optax.set_to_zero()},
-        make_label_fn(frozen_prefixes))
+        label_fn)
     if clip_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+        # the reference's clip_gradient computes the global norm over
+        # requires_grad params only (net_utils.py:88-99) — frozen layers
+        # (conv1/bn1) have no grad there. Zero frozen-labeled grads BEFORE
+        # the norm so the clip scale matches; with an inflated norm every
+        # clipped step would be systematically smaller than the reference's.
+        tx = optax.chain(_zero_labeled(label_fn, "frozen"),
+                         optax.clip_by_global_norm(clip_norm), tx)
     return tx
+
+
+def _zero_labeled(label_fn, which: str):
+    """Gradient transform: zero every update whose label == ``which``."""
+    import jax.numpy as jnp
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        labels = label_fn(updates)
+        out = jax.tree_util.tree_map(
+            lambda u, l: jnp.zeros_like(u) if l == which else u,
+            updates, labels)
+        return out, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def step_decay_schedule(base_lr: float, decay_step_epochs: int,

@@ -107,6 +107,10 @@ def round3_section(lines):
                       "| Arm | seed | step: mAP |", "|---|---|---|"]
             for arm in ("ours", "ref"):
                 for seed, v in _seed_rows(a, arm).items():
+                    if not v.get("mAP"):
+                        lines.append(f"| {arm} | {seed} | "
+                                     f"(trained, eval pending) |")
+                        continue
                     cells = ", ".join(
                         f"{s}: {_fmt(m[ds] if isinstance(m, dict) else m)}"
                         for s, m in sorted(v["mAP"].items(),
@@ -117,6 +121,8 @@ def round3_section(lines):
                 rows = _seed_rows(a, arm)
                 finals = []
                 for v in rows.values():
+                    if not v.get("mAP"):
+                        continue
                     last = max(v["mAP"], key=int)
                     m = v["mAP"][last]
                     finals.append(m[ds] if isinstance(m, dict) else m)
@@ -124,6 +130,21 @@ def round3_section(lines):
                     lines.append(f"| {arm} | mean(final) | "
                                  f"{_mean_spread(finals)} |")
             lines.append("")
+    pre = _seed_rows(a, "ours_preclip")
+    if pre:
+        lines += [
+            "**Archived: ours Stage-A arms BEFORE the clip-norm scope fix** "
+            "(the global gradient-clip norm wrongly included frozen "
+            "conv1/bn1 gradients, shrinking every clipped step vs the "
+            "reference — `i2vsgg_tpu/train/optim.py::sgd_reference`):", "",
+            "| seed | step: mAP (MVRD / MVidVRD) |", "|---|---|"]
+        for seed, v in pre.items():
+            cells = ", ".join(
+                f"{s}: {_fmt(m['MVRD'])}/{_fmt(m['MVidVRD'])}"
+                for s, m in sorted(v.get("mAP", {}).items(),
+                                   key=lambda kv: int(kv[0])))
+            lines.append(f"| {seed} | {cells} |")
+        lines.append("")
     if b:
         lines += ["### Stage B — predicate metrics on held-out GT pairs",
                   "", "| Arm | seed | top-1 | pred mAP | n pairs |",
@@ -161,6 +182,36 @@ def round3_section(lines):
                               "P@10"))
                 lines.append(f"| {arm} | mean | {cells} |")
         lines.append("")
+    _pre_bfix_section(lines)
+
+
+def _pre_bfix_section(lines):
+    b = _load(os.path.join(R3, "pre_bfix", "parity_b.json"))
+    c = _load(os.path.join(R3, "pre_bfix", "parity_c.json"))
+    if not (b or c):
+        return
+    lines += [
+        "**Archived: Stage-B/C arms BEFORE the vrd-recipe alignment** "
+        "(the harness's reference arm ran constant lr / no weight decay / "
+        "no bias split while ours decayed x0.9 per 36-step epoch with "
+        "decay-on-everything, and ours burned schedule steps on pair-less "
+        "images the reference arm skips — all fixed in "
+        "`tools/parity_run.py::train_reference_sgg` / "
+        "`tools/trainval_sgg.py`):", "",
+        "| Arm | seed | B top-1 | B pred mAP | C rel mAP | C R@50 |",
+        "|---|---|---|---|---|---|"]
+    for arm in ("ours", "ref"):
+        rows_b = _seed_rows(b, arm + "_sgg")
+        rows_c = _seed_rows(c, arm + "_video")
+        for seed in rows_b:
+            mb = rows_b[seed]
+            mc = rows_c.get(seed, {})
+            lines.append(
+                f"| {arm} | {seed} | {_fmt(mb['top1_acc'])} | "
+                f"{_fmt(mb['pred_mAP'])} | "
+                f"{_fmt(mc.get('rel_mAP', '—'))} | "
+                f"{_fmt(mc.get('R@50', '—'))} |")
+    lines.append("")
 
 
 HEADER = """\

@@ -26,7 +26,10 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8, help="frames per step")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="frames per step (16 amortizes the per-step fixed "
+                         "cost: +6.5%% fps vs 8, measured; same per-frame "
+                         "program, latency 16 frames/step)")
     ap.add_argument("--height", type=int, default=600)
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--steps", type=int, default=20)

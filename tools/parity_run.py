@@ -555,6 +555,11 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
         os.path.join(data_root, "MVRD", "source_gt_rels.pkl"),
         "--compute_dtype", "float32", "--disp_interval", "50",
         "--s", session, "--max_pairs", "12",
+        # SGG checkpoints are ~1.7 GB each (fc6 is 206M params + momentum
+        # trace) and the driver saves per 31-step epoch — without GC a
+        # 672-step run writes 36 GB and a 3-seed campaign fills the disk
+        # (ENOSPC, observed)
+        "--keep_ckpts", "1",
         "--save_dir", out_dir, "--load_name", det_ckpt,
         "--cfg"] + CFG_OVERRIDES + ["RNG_SEED", str(_run_seed(seed)),
                                     "TRAIN.MAX_NUM_GT_BOXES", "4"])

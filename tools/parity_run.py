@@ -203,6 +203,13 @@ def train_reference(data_root, out_dir, steps, seed=0, snap_steps=()):
 
     tag = f"ref{seed}"
     ckpts = {}
+    # per-component loss log, schema-compatible with our driver's
+    # metrics.jsonl — the bisection tool for any residual Stage-A gap is
+    # per-component trajectory comparison from the same init/data order
+    log_dir = os.path.join(out_dir, f"res{HP['depth']}", "MVRD",
+                           f"session_{tag}", "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    mlog = open(os.path.join(log_dir, "metrics.jsonl"), "a")
 
     def snapshot(at_step):
         ref.eval()
@@ -236,6 +243,15 @@ def train_reference(data_root, out_dir, steps, seed=0, snap_steps=()):
             dloss_t_style = 0.5 * torch.mean((1 - d_s_t) ** 2)
             loss = loss + dloss_s_p + dloss_t_p + HP["style_lambda"] * (
                 dloss_s_style + dloss_t_style)
+            mlog.write(json.dumps({
+                "step": step, "loss": float(loss),
+                "loss_rpn_cls": float(rpn_c.mean()),
+                "loss_rpn_box": float(rpn_b.mean()),
+                "loss_rcnn_cls": float(rc_c.mean()),
+                "loss_rcnn_box": float(rc_b.mean()),
+                "dloss_s_p": float(dloss_s_p), "dloss_t_p": float(dloss_t_p),
+                "dloss_s_style": float(dloss_s_style),
+                "dloss_t_style": float(dloss_t_style)}) + "\n")
             opt.zero_grad()
             loss.backward()
             # reference clip_gradient semantics (net_utils.py:88-99):
@@ -266,6 +282,7 @@ def train_reference(data_root, out_dir, steps, seed=0, snap_steps=()):
 
     # convert to our checkpoint format (evaluated by OUR eval driver)
     snapshot(step)
+    mlog.close()
     return ckpts
 
 

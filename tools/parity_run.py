@@ -209,7 +209,7 @@ def train_reference(data_root, out_dir, steps, seed=0, snap_steps=()):
     log_dir = os.path.join(out_dir, f"res{HP['depth']}", "MVRD",
                            f"session_{tag}", "logs")
     os.makedirs(log_dir, exist_ok=True)
-    mlog = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+    mlog = open(os.path.join(log_dir, "metrics.jsonl"), "w")
 
     def snapshot(at_step):
         ref.eval()

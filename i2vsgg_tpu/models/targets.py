@@ -25,6 +25,17 @@ import jax.numpy as jnp
 from i2vsgg_tpu.ops.boxes import encode_boxes, pairwise_iou_padded
 
 
+def _deterministic() -> bool:
+    """I2VSGG_DETERMINISTIC_SAMPLING=1 makes every subsample take the
+    FIRST k candidates in index order (and with-replacement draws cycle
+    0..k-1). The torch reference admits the same derandomization by
+    patching np.random (parity/refshim.patch_deterministic_sampling) —
+    together they make gradients directly comparable across arms
+    (tools/grad_parity.py). Read at TRACE time; not for production."""
+    import os
+    return os.environ.get("I2VSGG_DETERMINISTIC_SAMPLING") == "1"
+
+
 def _keep_topk_random(key, candidate_mask: jnp.ndarray, k) -> jnp.ndarray:
     """Randomly keep at most ``k`` True entries of ``candidate_mask``.
 
@@ -33,6 +44,9 @@ def _keep_topk_random(key, candidate_mask: jnp.ndarray, k) -> jnp.ndarray:
     [anchor_target_layer.py:131-147]. ``k`` may be traced.
     """
     n = candidate_mask.shape[0]
+    if _deterministic():
+        rank = jnp.cumsum(candidate_mask.astype(jnp.int32)) - 1
+        return candidate_mask & (rank < k)
     r = jax.random.uniform(key, (n,))
     pri = jnp.where(candidate_mask, r, -1.0)
     order = jnp.argsort(-pri)                      # candidates first
@@ -51,7 +65,13 @@ def _sample_with_replacement(key, candidate_mask: jnp.ndarray, k: int):
     # stable argsort: False(0) sorts after True(1) when negated keys used
     order = jnp.argsort(~candidate_mask)           # candidates first, in order
     n_cand = jnp.sum(candidate_mask)
-    draw = jnp.floor(jax.random.uniform(key, (k,)) * n_cand).astype(jnp.int32)
+    if _deterministic():
+        # floor((i+0.5)/k * n): what the reference computes when its
+        # np.random.rand(k) is patched to (arange(k)+0.5)/k
+        draw = jnp.floor((jnp.arange(k) + 0.5) / k
+                         * n_cand).astype(jnp.int32)
+    else:
+        draw = jnp.floor(jax.random.uniform(key, (k,)) * n_cand).astype(jnp.int32)
     draw = jnp.clip(draw, 0, jnp.maximum(n_cand - 1, 0))
     return order[draw]
 

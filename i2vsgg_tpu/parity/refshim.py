@@ -324,6 +324,45 @@ def _patch_torch2_compat():
     rpn_mod._RPN.reshape = staticmethod(_reshape)
 
 
+def patch_deterministic_sampling():
+    """Derandomize the reference's anchor/proposal subsampling so its
+    gradients are directly comparable with ours under
+    ``I2VSGG_DETERMINISTIC_SAMPLING=1`` (tools/grad_parity.py).
+
+    Call-site semantics differ, so the fake ``np.random.permutation``
+    inspects its caller:
+    * anchor_target_layer.py:131,143 DISABLES ``perm[:n-k]`` — a REVERSED
+      arange makes it disable the last n-k, keeping the FIRST k;
+    * proposal_target_layer_cascade.py:158 KEEPS ``perm[:k]`` — a plain
+      arange keeps the FIRST k.
+    Both then match our first-k-in-index-order rule. ``np.random.rand(k)``
+    (with-replacement draws, proposal_target:167-182) becomes
+    ``(arange(k)+0.5)/k`` so ``floor(rand*n)`` equals our deterministic
+    draw formula."""
+    import sys
+
+    import numpy as _np
+
+    real_perm = _np.random.permutation
+    real_rand = _np.random.rand
+
+    def fake_permutation(n):
+        caller = sys._getframe(1).f_code.co_filename
+        if "anchor_target" in caller:
+            return _np.arange(n)[::-1].copy()
+        return _np.arange(n)
+
+    def fake_rand(*shape):
+        if len(shape) == 1:
+            k = shape[0]
+            return (_np.arange(k) + 0.5) / max(k, 1)
+        return real_rand(*shape)
+
+    _np.random.permutation = fake_permutation
+    _np.random.rand = fake_rand
+    return real_perm, real_rand
+
+
 def patch_cuda_noop():
     """Make ``.cuda()`` a no-op: the reference's SGG code calls it
     unconditionally (``resnet_SGG_emb.py:130-142``); CPU-only parity runs

@@ -71,10 +71,17 @@ def parse_args(argv=None):
     p.add_argument("--num_classes", default=15, type=int)
     p.add_argument("--num_relations", default=62, type=int)
     p.add_argument("--zero_init_residual", action="store_true",
-                   help="zero every bottleneck's bn3 scale at init — the "
-                        "standard from-scratch ResNet recipe (with frozen "
-                        "identity BN the activation variance otherwise "
-                        "doubles per block and overflows bf16)")
+                   help="zero every bottleneck's bn3 scale at init. NOTE: "
+                        "with this repo's FrozenBatchNorm (stop-gradient, "
+                        "optimizer freezes all bn*) the zero scale NEVER "
+                        "recovers — every residual branch is permanently "
+                        "identity and its convs get zero gradient, so the "
+                        "trained trunk degenerates to stem + downsample "
+                        "convs. Use ONLY for from-scratch numerical-range "
+                        "control on synthetic harnesses (it stops the "
+                        "frozen-identity-BN variance doubling per block "
+                        "that overflows bf16), never with pretrained "
+                        "weights or when trunk quality matters")
     p.add_argument("--max_pairs", default=64, type=int,
                    help="static per-image pair padding in SGG training "
                         "(the 4096-wide fc6/fc7 cost scales with it)")

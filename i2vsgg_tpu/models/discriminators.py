@@ -150,8 +150,12 @@ class NetDStyle(nn.Module):
         g = jnp.einsum("bpc,bpd->bcd", x, x,
                        preferred_element_type=f32)           # (B, 512, 512)
         s = jnp.sum(x.astype(f32), axis=1)                   # (B, 512)
-        m = jnp.einsum("bcd,di->bci", g.astype(self.dtype),
-                       w2.astype(self.dtype),
+        # G entries are sums over ~HW=2.3k positions — keep the fp32
+        # accumulation through the contraction (a bf16 downcast here has a
+        # different rounding profile than the per-position reference
+        # formulation; the einsum is only ~0.7 GFLOP/image post-Gram, so
+        # fp32 costs nothing measurable)
+        m = jnp.einsum("bcd,di->bci", g, w2.astype(f32),
                        preferred_element_type=f32)           # (B, 512, DR)
         t = jnp.einsum("bci,ci->bi", m, w1.astype(f32))      # (B, DR)
         u1 = s @ w1.astype(f32)

@@ -96,6 +96,16 @@ class FasterRCNN_DA(nn.Module):
         anchors = shifted_anchors(h, w, self.cfg.FEAT_STRIDE[0],
                                   self._base_anchors)
         fg = rpn_softmax_fg(rpn_cls, self.cfg.num_anchors)
+        # the reference detaches BOTH rpn outputs before proposal generation
+        # [rpn.py:77: (rpn_cls_prob.data, rpn_bbox_pred.data)] — without
+        # this, gradients flow from the RCNN box-regression TARGETS
+        # (encode_boxes(rois, gt) / BBOX_NORMALIZE_STDS — a 5-10x
+        # amplification) back through the proposal coordinates into
+        # rpn/bbox_pred: measured cos 0.10 / 10x-norm gradient divergence vs
+        # the reference on that param (tools/grad_parity.py, round 4) — the
+        # round-3 Stage-A trained-mAP gap's root cause.
+        fg = jax.lax.stop_gradient(fg)
+        rpn_bbox = jax.lax.stop_gradient(rpn_bbox)
         c = self.cfg.TRAIN if training else self.cfg.TEST
         post = c.RPN_POST_NMS_TOP_N
         if target and training:

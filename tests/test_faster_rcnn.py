@@ -76,6 +76,37 @@ def test_train_source_losses_finite(model_and_params, rng):
     assert float(jnp.max(out["d_instance"])) <= 1.0
 
 
+def test_rpn_heads_get_no_gradient_from_rcnn_losses(model_and_params, rng):
+    """The reference detaches both RPN outputs before proposal generation
+    [rpn.py:77] — no gradient may flow from the RCNN losses (whose
+    regression TARGETS are differentiable functions of the proposal
+    coordinates, amplified ~10x by BBOX_NORMALIZE_STDS) back into the RPN
+    heads. Round-3's one-sided Stage-A mAP gap traced to exactly this leak
+    (tools/grad_parity.py: rpn/bbox_pred grad cos 0.10, 10x norm)."""
+    model, params = model_and_params
+    batch = make_batch(rng)
+
+    def rcnn_only_loss(p):
+        out = model.apply(
+            {"params": p}, batch["image"], batch["im_info"],
+            batch["gt_boxes"], mode="train_source",
+            rngs={"sampling": jax.random.PRNGKey(1),
+                  "sampling2": jax.random.PRNGKey(2),
+                  "dropout": jax.random.PRNGKey(3)})
+        return out["rcnn_loss_cls"] + out["rcnn_loss_bbox"]
+
+    g = jax.grad(rcnn_only_loss)(params)
+    for name in ("bbox_pred", "cls_score", "conv"):
+        gn = float(jnp.linalg.norm(
+            jnp.concatenate([jnp.ravel(v) for v in
+                             jax.tree.leaves(g["rpn"][name])])))
+        assert gn == 0.0, f"rpn/{name} leaks gradient from RCNN losses: {gn}"
+    # the same loss DOES reach the trunk (through pooled features)
+    tn = float(jnp.linalg.norm(jnp.concatenate(
+        [jnp.ravel(v) for v in jax.tree.leaves(g["trunk"])])))
+    assert tn > 0.0
+
+
 def test_target_pass(model_and_params, rng):
     model, params = model_and_params
     batch = make_batch(rng, with_gt=False)

@@ -38,6 +38,24 @@ def test_gram_formulation_matches_direct():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_gram_formulation_bf16_production_dtype():
+    """The DA training path instantiates NetDStyle with the model compute
+    dtype (bf16). The Gram accumulation + contraction stay fp32, so bf16
+    rounding enters only via the per-position inputs — outputs must track
+    the fp64 oracle to bf16-input tolerance."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 5, 6, 512).astype(np.float32))
+    mod = NetDStyle(context=True, dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    out, feat = mod.apply({"params": params}, x, 1.0)
+    want = _direct(params, np.asarray(x))
+    # sigmoid output in [0,1]: atol dominated by bf16 input rounding (~3e-3
+    # relative on x, quadratic form doubles it)
+    np.testing.assert_allclose(np.asarray(out, np.float64), want,
+                               rtol=0.05, atol=0.02)
+    assert np.isfinite(np.asarray(feat, np.float64)).all()
+
+
 def test_grl_gradient_still_reversed():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 4, 4, 512).astype(np.float32))

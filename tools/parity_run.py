@@ -343,13 +343,28 @@ def train_ours(data_root, out_dir, steps, seed=0):
 
 
 def ours_ckpts(ckpt_dir, want_steps):
-    """Map each wanted step to the nearest saved checkpoint step."""
+    """Map each wanted step to the nearest saved checkpoint step.
+
+    Warns loudly when the nearest checkpoint is far from the wanted step
+    (> half the save cadence) or when two wanted steps collapse onto the
+    same checkpoint — either silently mislabels intermediate-eval points
+    in the parity curves."""
     import re
     steps = sorted(int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
                    if re.fullmatch(r"step_\d+", d))
-    out = {}
-    for wsw in want_steps:
+    cadence = min((b - a for a, b in zip(steps, steps[1:])), default=0)
+    out, taken = {}, {}
+    for wsw in sorted(want_steps):
         near = min(steps, key=lambda s: abs(s - wsw))
+        if cadence and abs(near - wsw) > cadence / 2:
+            print(f"WARNING: wanted step {wsw} resolves to checkpoint "
+                  f"{near} ({abs(near - wsw)} steps away, save cadence "
+                  f"{cadence}) — eval point will be mislabeled", flush=True)
+        if near in taken:
+            print(f"WARNING: wanted steps {taken[near]} and {wsw} both "
+                  f"resolve to checkpoint {near}; keeping one eval",
+                  flush=True)
+        taken[near] = wsw
         out[near] = os.path.join(ckpt_dir, str(near))
     return out
 

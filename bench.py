@@ -55,6 +55,11 @@ def main():
                          "matmuls, so the only numerics change is bf16 "
                          "rounding of stored weights "
                          "(disable with --no-bf16-params)")
+    ap.add_argument("--int8-fc6", action="store_true",
+                    help="run the SGG fc6/fc7 towers as int8 MXU matmuls "
+                         "(DenseInt8; ~2x matmul rate on v5e, the head's "
+                         "compute-bound hot spot). Quality-gate with "
+                         "tools/quant_ab.py before making this default")
     ap.add_argument("--pallas-conv1", action="store_true",
                     help="route the trunk's conv1 through the Pallas "
                          "parity-plane matmul kernel (serving path)")
@@ -136,7 +141,8 @@ def main():
                         backbone="res101", ic=True, gc=True)
     dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
     sgg = SGGModel(trunk=ResNetTrunk(depth=101, dtype=dtype),
-                   vrd=VRDHead(dtype=dtype, pooling="align"),
+                   vrd=VRDHead(dtype=dtype, pooling="align",
+                               int8_fc=args.int8_fc6),
                    n_rel=args.num_relations)
     md = args.max_det
     prd_vecs = np.random.RandomState(1).randn(

@@ -82,6 +82,12 @@ def parse_args(argv=None):
                         "frozen-identity-BN variance doubling per block "
                         "that overflows bf16), never with pretrained "
                         "weights or when trunk quality matters")
+    p.add_argument("--uint8_upload", action="store_true",
+                   help="eval: upload resized uint8 BGR frames and do the "
+                        "mean subtraction on device (4x smaller host->"
+                        "device transfers — the axon-tunnel eval "
+                        "bottleneck). Numerics differ from f32 transport "
+                        "only by uint8 rounding of resized pixels")
     p.add_argument("--max_pairs", default=64, type=int,
                    help="static per-image pair padding in SGG training "
                         "(the 4096-wide fc6/fc7 cost scales with it)")
@@ -114,6 +120,11 @@ def parse_args(argv=None):
                         "(resnet_SGG_emb.py:82 ROIPool), 'align' = RoIAlignAvg "
                         "(faster on TPU; train+serve must match). Recorded in "
                         "SGG checkpoint metadata; eval/serve read it back")
+    p.add_argument("--int8_fc6", action="store_true",
+                   help="eval/serve: run the vrd fc6/fc7 towers as int8 MXU "
+                        "matmuls (DenseInt8 — checkpoint-compatible param "
+                        "tree). ~2x matmul rate on the head's compute-bound "
+                        "hot spot; quality-gate with tools/quant_ab.py")
     p.add_argument("--semi", action="store_true")
     # TPU-native additions
     p.add_argument("--mesh", default=0, type=int,

@@ -59,6 +59,38 @@ def prep_image(im_bgr: np.ndarray, target_size: int,
     return im, im_scale
 
 
+def prep_image_u8(im_bgr: np.ndarray, target_size: int
+                  ) -> Tuple[np.ndarray, float]:
+    """Shortest-side resize in uint8, WITHOUT mean subtraction — the
+    4x-smaller transport format for tunnel/DCN-bound eval (PERF.md
+    "Infrastructure findings": f32 image upload dominated eval through the
+    axon tunnel at ~0.7 im/s). Mean subtraction is linear and commutes
+    exactly with bilinear resize, so doing it on device after upload equals
+    ``prep_image`` up to the uint8 rounding of resized pixels (<=0.5/255
+    intensity)."""
+    import cv2
+    h, w = im_bgr.shape[:2]
+    im_scale = float(target_size) / min(h, w)
+    im = cv2.resize(im_bgr, None, None, fx=im_scale, fy=im_scale,
+                    interpolation=cv2.INTER_LINEAR)
+    return im, im_scale
+
+
+def dequantize_image_u8(images_u8, im_info, pixel_means):
+    """On-device inverse of ``prep_image_u8`` packing: uint8 BGR ->
+    mean-subtracted float32, with the zero-padded region re-zeroed so it
+    matches the f32 transport exactly (f32 batches pad AFTER subtraction,
+    i.e. padding == mean pixel; raw uint8 zeros would decode to -means).
+    Call INSIDE the jitted program."""
+    import jax.numpy as jnp
+    x = images_u8.astype(jnp.float32) - jnp.asarray(pixel_means, jnp.float32)
+    hh = jnp.arange(images_u8.shape[1])[None, :, None]
+    ww = jnp.arange(images_u8.shape[2])[None, None, :]
+    mask = ((hh < im_info[:, 0][:, None, None])
+            & (ww < im_info[:, 1][:, None, None]))
+    return x * mask[..., None].astype(jnp.float32)
+
+
 def bucket_hw(h: int, w: int, buckets: Sequence[int] = DEFAULT_BUCKETS,
               base: int = 608) -> Tuple[int, int]:
     """Static padded shape for a resized image."""
@@ -85,7 +117,8 @@ class DetectionLoader:
                  cfg: Config, batch_size: int = 1, training: bool = True,
                  seed: int = 0, buckets: Sequence[int] = DEFAULT_BUCKETS,
                  prefetch: int = 2, native: Optional[bool] = None,
-                 gt_truncate: str = "shuffle"):
+                 gt_truncate: str = "shuffle",
+                 uint8_transport: bool = False):
         """``gt_truncate`` controls what happens when an image has more than
         MAX_NUM_GT_BOXES annotations: "shuffle" = random permute + truncate
         (detection parity, roibatchLoader.py:185-209); "first" = keep the
@@ -94,6 +127,12 @@ class DetectionLoader:
         original order and would be silently corrupted by a permutation."""
         assert gt_truncate in ("shuffle", "first"), gt_truncate
         self.gt_truncate = gt_truncate
+        # uint8_transport: batches carry "image_u8" (resized BGR uint8, NO
+        # mean subtraction) instead of "image"; the consumer subtracts
+        # PIXEL_MEANS on device (see prep_image_u8). 4x smaller uploads.
+        self.uint8_transport = uint8_transport
+        if uint8_transport:
+            native = False                # C++ path packs f32 mean-subtracted
         self.cfg = cfg
         self.training = training
         self.batch_size = batch_size
@@ -128,7 +167,10 @@ class DetectionLoader:
             im = im[:, ::-1, :]
         target = (self.cfg.TRAIN.SCALES if self.training
                   else self.cfg.TEST.SCALES)[0]
-        im, scale = prep_image(im, target, self.cfg.PIXEL_MEANS)
+        if self.uint8_transport:
+            im, scale = prep_image_u8(im, target)
+        else:
+            im, scale = prep_image(im, target, self.cfg.PIXEL_MEANS)
         boxes = entry["boxes"] * scale
         classes = entry["gt_classes"]
         return im, scale, boxes, classes
@@ -141,7 +183,8 @@ class DetectionLoader:
         ph = max(h for h, w in hw)
         pw = max(w for h, w in hw)
         b = len(items)
-        images = np.zeros((b, ph, pw, 3), np.float32)
+        img_dtype = np.uint8 if self.uint8_transport else np.float32
+        images = np.zeros((b, ph, pw, 3), img_dtype)
         im_info = np.zeros((b, 3), np.float32)
         gt = np.zeros((b, g, 5), np.float32)
         num_boxes = np.zeros((b,), np.int32)
@@ -158,7 +201,8 @@ class DetectionLoader:
                                         [w - 1, h - 1, w - 1, h - 1])
                 gt[i, :n, 4] = classes
             num_boxes[i] = n
-        return {"image": images, "im_info": im_info, "gt_boxes": gt,
+        key = "image_u8" if self.uint8_transport else "image"
+        return {key: images, "im_info": im_info, "gt_boxes": gt,
                 "num_boxes": num_boxes}
 
     def _truncate_gt(self, boxes, classes, g):

@@ -44,6 +44,36 @@ def _take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return oh @ x
 
 
+class DenseInt8(nn.Module):
+    """``nn.Dense``-compatible layer (same "kernel"/"bias" param names and
+    inits, so Stage-B checkpoints restore unchanged) whose matmul runs in
+    int8 on the MXU: per-output-channel symmetric weight quantization +
+    per-row dynamic activation quantization, fp32 rescale after the int32
+    accumulate. v5e executes int8xint8 matmuls at 2x the bf16 rate, and the
+    4096-wide fc6/fc7 towers are the SGG head's compute-bound hot spot
+    (~90% MXU, PERF.md "Path to 500" #3) — precision is the only lever
+    left there. Serving-only (no custom VJP); quality-gate with
+    tools/quant_ab.py before shipping as default."""
+    features: int
+    fan_in: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", torch_linear_kernel(),
+                       (x.shape[-1], self.features))
+        b = self.param("bias", torch_linear_bias(self.fan_in),
+                       (self.features,))
+        kf = k.astype(jnp.float32)
+        w_s = jnp.maximum(jnp.max(jnp.abs(kf), axis=0), 1e-8) / 127.0
+        w_q = jnp.round(kf / w_s).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        a_s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+        x_q = jnp.round(xf / a_s[:, None]).astype(jnp.int8)
+        y = jax.lax.dot(x_q, w_q, preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * (a_s[:, None] * w_s[None, :])
+                + b.astype(jnp.float32))
+
+
 class PredicateEmbedder(nn.Module):
     """GloVe 300-d -> emb_dim semantic predicate embeddings.
     [resnet_SGG_emb.py:188-192 prd_sem_embeddings]"""
@@ -74,6 +104,8 @@ class VRDHead(nn.Module):
     # RoIAlignAvg via the MXU matmul formulation — the serving default
     # (~10x cheaper on TPU; quality equivalent after training with it)
     pooling: str = "pool"
+    # int8 fc6/fc7 matmuls for serving (DenseInt8; checkpoint-compatible)
+    int8_fc: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,9 +144,11 @@ class VRDHead(nn.Module):
         # the reference's FC/Conv2d wrappers (lib/model/faster_rcnn/utils.py)
         # never override them
         x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
-        x = nn.relu(dense_t(self.fc_dim, x.shape[-1], "fc6")(x))
+        fc = ((lambda f, fi, name: DenseInt8(f, fi, name=name))
+              if self.int8_fc else dense_t)
+        x = nn.relu(fc(self.fc_dim, x.shape[-1], "fc6")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        x = nn.relu(dense_t(self.fc_dim, self.fc_dim, "fc7")(x))
+        x = nn.relu(fc(self.fc_dim, self.fc_dim, "fc7")(x))
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 
         obj_feat = dense_t(self.emb_dim, self.fc_dim,

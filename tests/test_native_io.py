@@ -117,6 +117,35 @@ def test_gt_truncate_first_preserves_annotation_order(dataset):
                                           e["gt_classes"][:n])
 
 
+def test_uint8_transport_matches_f32(dataset):
+    """uint8 eval transport (resize in uint8, mean-subtract on device) must
+    equal the f32 loader path up to the <=1-intensity-level rounding of
+    resized pixels — including EXACT zeros in the padded region (f32 pads
+    after subtraction, i.e. with the mean pixel)."""
+    import jax.numpy as jnp
+    from i2vsgg_tpu.config import Config
+    from i2vsgg_tpu.data.pipeline import (DetectionLoader,
+                                          dequantize_image_u8)
+    from i2vsgg_tpu.data.roidb import combined_roidb
+
+    cfg = Config().replace(TEST=Config().TEST.__class__(SCALES=(96,)))
+    imdb, roidb, _, idx = combined_roidb("MVRD_test", training=False,
+                                         use_flipped=False)
+    lf = DetectionLoader(roidb, idx, cfg, 2, training=False, native=False)
+    lu = DetectionLoader(roidb, idx, cfg, 2, training=False,
+                         uint8_transport=True)
+    for bf, bu in zip(lf, lu):
+        assert bu["image_u8"].dtype == np.uint8
+        deq = np.asarray(dequantize_image_u8(
+            jnp.asarray(bu["image_u8"]), jnp.asarray(bu["im_info"]),
+            cfg.PIXEL_MEANS))
+        np.testing.assert_allclose(deq, bf["image"], atol=1.0)
+        # padded region must be exactly zero in both transports
+        h, w = int(bf["im_info"][0, 0]), int(bf["im_info"][0, 1])
+        assert np.all(deq[0, h:] == 0.0) and np.all(deq[0, :, w:] == 0.0)
+        np.testing.assert_array_equal(bf["im_info"], bu["im_info"])
+
+
 def test_load_batch_raises_on_missing(dataset):
     with pytest.raises(RuntimeError):
         runtime.load_batch(["/nonexistent/x.jpg"], [False],

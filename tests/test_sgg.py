@@ -92,6 +92,31 @@ def test_head_on_features_matches_call(model_params_prd, rng):
                                np.asarray(feat["scores"]), rtol=1e-5)
 
 
+def test_int8_fc_matches_fp32_scores(model_params_prd, rng):
+    """DenseInt8 fc6/fc7 (serving quantization) restores the SAME param
+    tree and must track the fp32 head's cosine scores closely — int8
+    per-row/per-channel dynamic quantization noise on the two 4096-wide
+    towers stays within a few hundredths on [-1, 1] logits."""
+    model, params, prd = model_params_prd
+    q_model = SGGModel(
+        trunk=ResNetTrunk(depth=10, dtype=jnp.float32),
+        vrd=VRDHead(emb_dim=32, fc_dim=64, dtype=jnp.float32, int8_fc=True),
+        n_rel=N_REL)
+    batch = make_batch(rng)
+    args = (batch["image"][:1], batch["im_info"][0], batch["obj_boxes"][0],
+            jnp.zeros((G,), jnp.int32), batch["ix1"][0], batch["ix2"][0],
+            batch["pair_valid"][0], prd)
+    # identical param tree: the quantized layer declares the same
+    # kernel/bias names, so Stage-B checkpoints restore unchanged
+    q_init = q_model.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(1)}, *args)["params"]
+    assert (jax.tree_util.tree_structure(q_init)
+            == jax.tree_util.tree_structure(params))
+    ref = np.asarray(model.apply({"params": params}, *args)["scores"])
+    quant = np.asarray(q_model.apply({"params": params}, *args)["scores"])
+    assert np.max(np.abs(ref - quant)) < 0.05, np.max(np.abs(ref - quant))
+
+
 def test_union_dedup_is_exact(model_params_prd, rng):
     """pair_static (unordered-union dedup) must yield EXACTLY the same
     scores as per-ordered-pair unions: union boxes are symmetric."""

@@ -53,20 +53,40 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--net", default="res101")
     ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--ckpt", default="",
+                    help="run the sweep on an EXISTING checkpoint instead "
+                         "of training one (e.g. the best converged parity "
+                         "checkpoint — the advisor flagged that the "
+                         "zero_init_residual training below produces a "
+                         "degenerate trunk, weak A/B evidence)")
+    ap.add_argument("--data", default="",
+                    help="with --ckpt: the data root the checkpoint was "
+                         "trained on (its cfg/scale must match --cfg)")
+    ap.add_argument("--cfg", nargs="*", default=None,
+                    help="with --ckpt: config overrides replacing the "
+                         "default 600-scale CFG (pass the checkpoint's "
+                         "training overrides)")
+    ap.add_argument("--dataset", default="MVRD")
     args = ap.parse_args(argv)
+    if args.cfg is not None:
+        global CFG
+        CFG = list(args.cfg)
 
     import jax
     if os.environ.get("I2VSGG_PARITY_TPU") != "1":
         os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
         jax.config.update("jax_platforms", "cpu")
 
-    data_root = os.path.join(args.out, "data")
-    if not os.path.isdir(os.path.join(data_root, "MVRD")):
+    data_root = args.data or os.path.join(args.out, "data")
+    if not args.ckpt and not os.path.isdir(os.path.join(data_root, "MVRD")):
         make_data(data_root)
         print(f"600-scale learnable dataset -> {data_root}")
     os.environ["I2VSGG_DATA_ROOT"] = data_root
 
     ckpt_dir = os.path.join(args.out, args.net, "MVRD", "session_902")
+    if args.ckpt:
+        ckpt_dir = os.path.dirname(args.ckpt)
+        args.skip_train = True
     if not args.skip_train:
         from tools.trainval_det_da import main as train_main
         train_main([
@@ -80,7 +100,8 @@ def main(argv=None):
             "--save_dir", args.out, "--cfg"] + CFG)
 
     from i2vsgg_tpu.train.checkpoint import latest_step
-    step = latest_step(ckpt_dir)
+    step = (int(os.path.basename(args.ckpt)) if args.ckpt
+            else latest_step(ckpt_dir))
     assert step, f"no checkpoint in {ckpt_dir}"
 
     from tools.test_det import main as eval_main
@@ -92,7 +113,7 @@ def main(argv=None):
     for pre_nms, rpn_topn, max_det in sweep:
         t0 = time.time()
         aps = eval_main([
-            "--dataset", "MVRD", "--net", args.net, "--bs", "1",
+            "--dataset", args.dataset, "--net", args.net, "--bs", "1",
             "--ic", "--gc",
             "--save_dir", args.out,
             "--load_name", os.path.join(ckpt_dir, str(step)),
@@ -104,8 +125,11 @@ def main(argv=None):
         results[key] = {"mAP": float(aps["mAP"]),
                         "eval_s": round(time.time() - t0, 1)}
         print(f"{key}: mAP {results[key]['mAP']:.4f}")
+        os.makedirs(args.out, exist_ok=True)
         with open(os.path.join(args.out, "capacity_ab.json"), "w") as f:
-            json.dump({"step": step, "results": results}, f, indent=1)
+            json.dump({"step": step, "ckpt_dir": ckpt_dir,
+                       "dataset": args.dataset, "results": results},
+                      f, indent=1)
     print(json.dumps(results))
     return results
 

@@ -52,7 +52,8 @@ CFG_OVERRIDES = ["ANCHOR_SCALES", "[2, 4, 8]",
 
 
 def make_data(root, n_source=48, n_target=24, seed=0, source_split=0.75,
-              target_split=0.75, video_target=False, n_frames=24):
+              target_split=0.75, video_target=False, n_frames=24,
+              hard_videos=False):
     from tests.fixtures import (make_learnable_dataset,
                                 make_learnable_video_dataset)
     os.makedirs(root, exist_ok=True)
@@ -64,11 +65,19 @@ def make_data(root, n_source=48, n_target=24, seed=0, source_split=0.75,
     if video_target:
         # target domain = real (synthetic) VIDEOS: Stage A uses the
         # trainval frames as DA target stills; Stage C evaluates trained
-        # relation R@50 on the held-out videos
+        # relation R@50 on the held-out videos.
+        # hard_videos de-saturates R@50 (round-3 verdict item 6: 32 GT over
+        # 10 videos made every arm score 1.0): 4-6 objects per video (with
+        # same-class ambiguity for the greedy association to confuse),
+        # smaller boxes, faster motion -> many short GT runs near the
+        # 10-frame minimum, so each video carries ~40-80 GT instances and
+        # the per-video top-50 cut [lib/utils.py:424-443] can actually bind.
+        vid_kw = (dict(min_obj=4, max_obj=6, size_range=(30, 70),
+                       max_speed=7) if hard_videos
+                  else dict(size_range=(50, 110)))
         make_learnable_video_dataset(root, "MVidVRD", n_videos=n_target,
                                      n_frames=n_frames, seed=seed + 1,
-                                     split_frac=target_split,
-                                     size_range=(50, 110))
+                                     split_frac=target_split, **vid_kw)
     else:
         # target domain: same still generator, different seed (MVidVRD
         # uses .png and video-frame naming)
@@ -762,6 +771,10 @@ def main(argv=None):
                          "be epoch multiples so both arms align)")
     ap.add_argument("--n_source", type=int, default=48)
     ap.add_argument("--n_target", type=int, default=24)
+    ap.add_argument("--n_frames", type=int, default=24)
+    ap.add_argument("--hard_videos", action="store_true",
+                    help="stage-c data: dense/fast videos so R@50 "
+                         "de-saturates (see make_data)")
     ap.add_argument("--source_split", type=float, default=0.75)
     ap.add_argument("--target_split", type=float, default=0.75)
     ap.add_argument("--arm", default="both", choices=("ours", "ref", "both"))
@@ -800,7 +813,8 @@ def main(argv=None):
                   target_split=args.target_split,
                   # Stage C needs real videos with trajectory GT; for it,
                   # n_target counts VIDEOS (x n_frames frames each)
-                  video_target="c" in args.stage)
+                  video_target="c" in args.stage, n_frames=args.n_frames,
+                  hard_videos=args.hard_videos)
         print(f"learnable dataset -> {data_root}")
     if "c" in args.stage:
         assert os.path.exists(os.path.join(

@@ -29,6 +29,7 @@ def run_detection(model, params, loader, cfg, num_classes, max_det=100):
     import jax
     import jax.numpy as jnp
     from i2vsgg_tpu.serve import decode_detections
+    from i2vsgg_tpu.data.pipeline import dequantize_image_u8
 
     @jax.jit
     def infer(params, image, im_info):
@@ -38,6 +39,13 @@ def run_detection(model, params, loader, cfg, num_classes, max_det=100):
             out["rois"], out["roi_valid"], out["cls_prob"], out["bbox_pred"],
             im_info, cfg, max_det=max_det,
             max_per_class=max_det, score_thresh=0.0)
+
+    @jax.jit
+    def infer_u8(params, image_u8, im_info):
+        # uint8 transport: 4x smaller uploads through the tunnel/DCN;
+        # mean subtraction + pad re-zeroing happen on device
+        return infer(params, dequantize_image_u8(image_u8, im_info,
+                                                 cfg.PIXEL_MEANS), im_info)
 
     # keep a window of batches in flight: a synchronous device_get per
     # batch serializes upload/compute/download through the axon tunnel
@@ -54,8 +62,12 @@ def run_detection(model, params, loader, cfg, num_classes, max_det=100):
         if batch is None:
             break
         t0 = _time.time()
-        dets = infer(params, jnp.asarray(batch["image"]),
-                     jnp.asarray(batch["im_info"]))
+        if "image_u8" in batch:
+            dets = infer_u8(params, jnp.asarray(batch["image_u8"]),
+                            jnp.asarray(batch["im_info"]))
+        else:
+            dets = infer(params, jnp.asarray(batch["image"]),
+                         jnp.asarray(batch["im_info"]))
         phase["dispatch"] += _time.time() - t0
         pending.append((batch["indices"], dets))
         if len(pending) >= 6:
@@ -101,7 +113,8 @@ def main(argv=None):
     imdb, roidb, _, idx = combined_roidb(args.imdbval_name, training=False,
                                          use_flipped=False)
     print(f"{len(roidb)} eval images ({args.imdbval_name})")
-    loader = DetectionLoader(roidb, idx, cfg, args.batch_size, training=False)
+    loader = DetectionLoader(roidb, idx, cfg, args.batch_size, training=False,
+                             uint8_transport=args.uint8_upload)
 
     model = FasterRCNN_DA(num_classes=len(imdb.classes), cfg=cfg,
                           backbone=args.net,

@@ -109,7 +109,8 @@ def main(argv=None):
                                  spatial_type=args.spatial_type,
                                  use_obj_visual=args.use_obj_visual,
                                  fc_dim=args.vrd_fc_dim,
-                                 pooling=vrd_pooling),
+                                 pooling=vrd_pooling,
+                                 int8_fc=args.int8_fc6),
                      n_rel=n_rel)
     z = jnp.zeros
     params = model.init(

@@ -109,7 +109,11 @@ def main(argv=None):
     # (pre_nms, post_nms, max_det): full reference capacity first, then
     # each serving cut on its own and combined
     sweep = [(6000, 300, 100), (6000, 128, 100), (1024, 128, 100),
-             (1024, 128, 16), (6000, 300, 16)]
+             (1024, 128, 16), (6000, 300, 16),
+             # max_det 16->8 quarters the SGG union-fc6 tower (pairs
+             # 240->56) — the single biggest serving line (~4.8 ms);
+             # round-3 verdict item 5 gates that cut on quality here
+             (1024, 128, 8), (6000, 300, 8)]
     for pre_nms, rpn_topn, max_det in sweep:
         t0 = time.time()
         aps = eval_main([

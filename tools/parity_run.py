@@ -787,8 +787,15 @@ def main(argv=None):
                          "lets the CPU-bound reference arm train while "
                          "evals run on the TPU afterwards")
     ap.add_argument("--eval_only", action="store_true",
-                    help="evaluate every stage-a entry that has ckpts but "
-                         "no mAP yet")
+                    help="evaluate every stage-a entry's ckpts that have "
+                         "no mAP recorded yet (backfills partially-"
+                         "evaluated arms)")
+    ap.add_argument("--eval_steps", default="",
+                    help="with --eval_only: comma-separated ckpt steps to "
+                         "evaluate (default all). Lets the campaign eval "
+                         "the decision points (288 early-deficit probe + "
+                         "final) first — a full 4-ckpt x 2-domain pass "
+                         "costs ~2h on the 1-core box")
     args = ap.parse_args(argv)
     assert set(args.stage) <= set("abc") and args.stage
 
@@ -834,21 +841,32 @@ def main(argv=None):
         print(f"{key}: {val}", flush=True)
 
     if args.eval_only:
+        want = {s for s in args.eval_steps.split(",") if s}
         path = os.path.join(args.out, "parity_a.json")
         with open(path) as f:
             prev = json.load(f)
         for key, val in sorted(prev.items()):
-            if not isinstance(val, dict) or "ckpts" not in val \
-                    or val.get("mAP"):
+            if not isinstance(val, dict) or "ckpts" not in val:
                 continue
-            maps = {}
-            for s, p in sorted(val["ckpts"].items(), key=lambda kv:
-                               int(kv[0])):
+            done = val.get("mAP") or {}
+            todo = [(s, p) for s, p in sorted(val["ckpts"].items(),
+                                              key=lambda kv: int(kv[0]))
+                    if s not in done and (not want or s in want)]
+            if not todo:
+                continue
+            maps = dict(done)
+            for s, p in todo:
                 maps[str(s)] = {ds: eval_det(p, args.out, dataset=ds)
                                 for ds in ("MVRD", "MVidVRD")}
-            val = dict(val, mAP=maps)
-            _save_results(args.out, "a", {key: val})
-            print(f"{key}: {val['mAP']}", flush=True)
+                # persist per-ckpt: evals cost ~15 min each on CPU and the
+                # round may end mid-sweep (re-read to keep concurrent keys)
+                with open(path) as f:
+                    cur = json.load(f).get(key, val)
+                _save_results(args.out, "a",
+                              {key: dict(cur, mAP=dict(sorted(
+                                  maps.items(), key=lambda kv:
+                                  int(kv[0]))))})
+                print(f"{key}@{s}: {maps[s]}", flush=True)
         return prev
 
     arms = {"ours": ("ours",), "ref": ("ref",),

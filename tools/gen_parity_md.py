@@ -130,6 +130,26 @@ def round3_section(lines):
                     lines.append(f"| {arm} | mean(final) | "
                                  f"{_mean_spread(finals)} |")
             lines.append("")
+    pre_rpn = _seed_rows(a, "ours_prerpnfix")
+    if pre_rpn:
+        lines += [
+            "**Archived: ours Stage-A arms BEFORE the RPN detach fix** "
+            "(the RCNN regression targets `encode_boxes(rois, gt)/STDS` "
+            "backpropagated into the RPN box head — the reference detaches "
+            "both RPN outputs before proposal generation, "
+            "`lib/model/rpn/rpn.py:77`; ours now stop-gradients at the "
+            "same point, `i2vsgg_tpu/models/faster_rcnn.py::_proposals`. "
+            "grad_parity.py measured the leaked gradient at cos 0.10 / "
+            "~10x the reference norm on `rpn/bbox_pred`; post-fix 283/284 "
+            "params match at cos > 0.999 — see PARITY.md):", "",
+            "| seed | step: mAP (MVRD / MVidVRD) |", "|---|---|"]
+        for seed, v in pre_rpn.items():
+            cells = ", ".join(
+                f"{s}: {_fmt(m['MVRD'])}/{_fmt(m['MVidVRD'])}"
+                for s, m in sorted(v.get("mAP", {}).items(),
+                                   key=lambda kv: int(kv[0])))
+            lines.append(f"| {seed} | {cells} |")
+        lines.append("")
     pre = _seed_rows(a, "ours_preclip")
     if pre:
         lines += [
@@ -183,6 +203,67 @@ def round3_section(lines):
                 lines.append(f"| {arm} | mean | {cells} |")
         lines.append("")
     _pre_bfix_section(lines)
+    _round4_sections(lines)
+
+
+def _round4_sections(lines):
+    """Round-4 artifacts: de-saturated Stage C, int8 quality gate,
+    converged-checkpoint capacity sweep. Byte-derived like everything
+    else here."""
+    hard = _load("runs/parity_r4c/stage_c_hard.json")
+    if hard.get("ours_hard") or hard.get("ref_hard"):
+        lines += [
+            "### Stage C on HARD videos (de-saturated R@50)", "",
+            f"Regenerated video test set ({hard.get('n_videos', '?')} "
+            f"videos, **{hard.get('n_gt_hard', '?')} GT relation "
+            "instances** vs 32 in the round-3 set, 4-6 objects/video with "
+            "same-class ambiguity + fast motion) so the per-video top-50 "
+            "cut binds. Both arms are the TRAINED Stage-B heads "
+            "(recipe/training data unchanged — only the eval videos are "
+            "hard). `runs/parity_r4c/stage_c_hard.json`.", "",
+            "| Arm | rel mAP | R@50 | R@100 | P@1 | P@5 | P@10 |",
+            "|---|---|---|---|---|---|---|"]
+        for arm in ("ours", "ref"):
+            m = hard.get(f"{arm}_hard")
+            if m:
+                lines.append(
+                    f"| {arm} | {_fmt(m['rel_mAP'])} | {_fmt(m['R@50'])} | "
+                    f"{_fmt(m['R@100'])} | {_fmt(m['P@1'])} | "
+                    f"{_fmt(m['P@5'])} | {_fmt(m['P@10'])} |")
+        lines.append("")
+    q = _load("runs/quant_ab/quant_ab.json")
+    if q.get("fp32") and q.get("int8"):
+        lines += [
+            "### int8 fc6/fc7 serving quantization — quality gate", "",
+            f"Same trained Stage-B checkpoint (`{q.get('ckpt', '?')}`) "
+            "evaluated with fp32 vs DenseInt8 fc towers "
+            "(`tools/quant_ab.py`, `runs/quant_ab/quant_ab.json`):", "",
+            "| Arm | top-1 | pred mAP |", "|---|---|---|"]
+        for arm in ("fp32", "int8"):
+            m = q[arm]
+            lines.append(f"| {arm} | {_fmt(m['top1_acc'])} | "
+                         f"{_fmt(m['pred_mAP'])} |")
+        d = q.get("delta", {})
+        if d:
+            lines.append(
+                f"| delta | {_fmt(d.get('top1_acc', 0.0))} | "
+                f"{_fmt(d.get('pred_mAP', 0.0))} |")
+        lines.append("")
+    cap = _load("runs/capacity_ab_r4/capacity_ab.json")
+    if cap.get("results"):
+        lines += [
+            "### Serving-capacity quality sweep on a CONVERGED checkpoint",
+            "",
+            f"Detection mAP per serving capacity config on "
+            f"`{cap.get('ckpt_dir', '?')}/{cap.get('step', '?')}` "
+            "(round-3's sweep used a degenerate from-scratch model — "
+            "advisor finding; `runs/capacity_ab_r4/capacity_ab.json`):",
+            "", "| pre-NMS | RPN top-N | max det | mAP |",
+            "|---|---|---|---|"]
+        for key, m in cap["results"].items():
+            pre, rpn, det = (p[3:] for p in key.split("_"))
+            lines.append(f"| {pre} | {rpn} | {det} | {_fmt(m['mAP'], 4)} |")
+        lines.append("")
 
 
 def _pre_bfix_section(lines):

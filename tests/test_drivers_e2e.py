@@ -198,6 +198,22 @@ def test_serve_video_driver(fixture_env, workdir):
     assert set(frame_dets) == {"vid00", "vid01"}
     assert isinstance(rels, dict)
 
+    # production serving levers: uint8 frame transport (mean subtraction
+    # on device) + int8 fc6/fc7 — same checkpoints, same videos; the
+    # pipeline must stay structurally identical (uint8 rounding and int8
+    # quantization perturb scores, not the schema)
+    rels_q = main(["--dataset", "MVidVRD", "--net", "res10", "--bs", "2",
+                   "--ic", "--gc", "--uint8_upload", "--int8_fc6",
+                   "--num_relations", str(fixture_env["n_rel"]),
+                   "--compute_dtype", "float32",
+                   "--save_dir", workdir,
+                   "--load_name", _step_arg(det_ck),
+                   "--sgg_load_name", _step_arg(sgg_ck),
+                   "--max_det", "6"] + TINY_CFG + SGG_TINY)
+    frame_dets_q = json.load(open(out))
+    assert set(frame_dets_q) == set(frame_dets)
+    assert isinstance(rels_q, dict)
+
 
 def test_stage_b_recognition_task(fixture_env, workdir):
     """vrd_task=pre_det: recognition Accuracy@1/5 via GT pairs + so-prior."""

@@ -159,3 +159,28 @@ def test_detection_output_single_box_returns_none(rng):
                            np.zeros(1), np.ones(1), np.zeros(0, int),
                            np.zeros(0, int))
     assert out is None
+
+
+def test_hard_video_fixture_de_saturates_r50(tmp_path):
+    """The hard-video knobs (stage_c_hard / parity_run --hard_videos) must
+    produce enough GT relation instances per held-out video that the
+    per-video top-50 cut CAN bind — round-3 Stage-C carried 32 GT over 10
+    videos and every arm scored R@50 = 1.0 vacuously (R@50 only
+    discriminates when ranked candidates can miss GT,
+    lib/utils.py:424-443)."""
+    import json
+    import os
+    from tests.fixtures import make_learnable_video_dataset
+    make_learnable_video_dataset(
+        str(tmp_path), "HARD", n_videos=8, n_frames=24, seed=1,
+        split_frac=0.5, min_obj=4, max_obj=6, size_range=(30, 70),
+        max_speed=7)
+    with open(os.path.join(str(tmp_path), "HARD",
+                           "video_annotations_test.json")) as f:
+        gt = json.load(f)
+    per_video = [len(v) for v in gt.values()]
+    total = sum(per_video)
+    # hard-knob floor: an order of magnitude above the saturated round-3
+    # set (32 GT / 10 videos ~ 3 per video)
+    assert min(per_video) >= 8, per_video
+    assert total >= 12 * len(gt), (total, per_video)

@@ -62,7 +62,8 @@ def main(argv=None):
     imdb, roidb, _, idx = combined_roidb(args.imdbval_name, training=False,
                                          use_flipped=False)
     print(f"{len(roidb)} frames ({args.imdbval_name})")
-    loader = DetectionLoader(roidb, idx, cfg, args.batch_size, training=False)
+    loader = DetectionLoader(roidb, idx, cfg, args.batch_size, training=False,
+                             uint8_transport=args.uint8_upload)
 
     prd_np = load_predicate_vectors(args)
     n_rel = prd_np.shape[0]
@@ -106,7 +107,8 @@ def main(argv=None):
                                spatial_type=args.spatial_type,
                                use_obj_visual=args.use_obj_visual,
                                fc_dim=args.vrd_fc_dim, dtype=dtype,
-                               pooling=vrd_pooling),
+                               pooling=vrd_pooling,
+                               int8_fc=args.int8_fc6),
                    n_rel=n_rel)
     ix1_np, ix2_np = make_pair_indices(md)
     ixz = jnp.zeros((len(ix1_np),), jnp.int32)
@@ -124,12 +126,24 @@ def main(argv=None):
 
     program = make_frame_program(det, det_params, sgg, sgg_params, prd_np,
                                  cfg, max_det=md)
+    img_key = "image"
+    if args.uint8_upload:
+        # 4x smaller host->device transfers: frames ship as resized uint8
+        # BGR; mean subtraction + pad re-zeroing fuse into the program
+        from i2vsgg_tpu.data.pipeline import dequantize_image_u8
+        base_program, img_key = program, "image_u8"
+
+        @jax.jit
+        def program(image_u8, im_info):
+            return base_program(
+                dequantize_image_u8(image_u8, im_info, cfg.PIXEL_MEANS),
+                im_info)
 
     frame_detections = {}
     t0 = time.time()
     done = 0
     for batch in loader:
-        out = jax.device_get(program(jnp.asarray(batch["image"]),
+        out = jax.device_get(program(jnp.asarray(batch[img_key]),
                                      jnp.asarray(batch["im_info"])))
         for bi, ridx in enumerate(batch["indices"]):
             index = os.path.splitext(os.path.basename(

@@ -67,6 +67,12 @@ def main(argv=None):
                          "default 600-scale CFG (pass the checkpoint's "
                          "training overrides)")
     ap.add_argument("--dataset", default="MVRD")
+    ap.add_argument("--rows", default="",
+                    help="comma-separated pre:post:det triples overriding "
+                         "the default 7-row sweep (e.g. "
+                         "'6000:300:100,1024:128:8') — lets a wall-clock-"
+                         "bounded campaign run the decision-critical rows "
+                         "first (results persist per row)")
     args = ap.parse_args(argv)
     if args.cfg is not None:
         global CFG
@@ -114,6 +120,9 @@ def main(argv=None):
              # 240->56) — the single biggest serving line (~4.8 ms);
              # round-3 verdict item 5 gates that cut on quality here
              (1024, 128, 8), (6000, 300, 8)]
+    if args.rows:
+        sweep = [tuple(int(x) for x in row.split(":"))
+                 for row in args.rows.split(",")]
     for pre_nms, rpn_topn, max_det in sweep:
         t0 = time.time()
         aps = eval_main([

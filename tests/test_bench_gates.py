@@ -1,0 +1,83 @@
+"""The driver's round-end `python bench.py` auto-enables serving levers
+ONLY when their committed quality gates pass (bench.py `_gate_int8` /
+`_gate_det8`). These gates decide what config the recorded headline
+number runs — pin their artifact parsing and pass/fail thresholds."""
+
+import argparse
+import importlib.util
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _args(pre_nms=1024, rpn_topn=128):
+    return argparse.Namespace(pre_nms=pre_nms, rpn_topn=rpn_topn)
+
+
+def test_int8_gate_passes_within_tol(bench, tmp_path):
+    p = tmp_path / "quant_ab.json"
+    p.write_text(json.dumps(
+        {"delta": {"pred_mAP": -0.004, "top1_acc": 0.0}}))
+    ok, why = bench._gate_int8(str(p))
+    assert ok and "PASS" in why
+
+
+def test_int8_gate_fails_on_regression(bench, tmp_path):
+    p = tmp_path / "quant_ab.json"
+    p.write_text(json.dumps(
+        {"delta": {"pred_mAP": -0.02, "top1_acc": 0.0}}))
+    ok, why = bench._gate_int8(str(p))
+    assert not ok and "FAIL" in why
+
+
+def test_int8_gate_missing_artifact_is_not_a_pass(bench, tmp_path):
+    ok, why = bench._gate_int8(str(tmp_path / "nope.json"))
+    assert not ok and "NOT RUN" in why
+
+
+def test_int8_gate_unreadable_artifact_is_not_a_pass(bench, tmp_path):
+    p = tmp_path / "quant_ab.json"
+    p.write_text("{broken")
+    ok, _ = bench._gate_int8(str(p))
+    assert not ok
+
+
+def test_det8_gate_compares_the_benchs_own_capacity_row(bench, tmp_path):
+    p = tmp_path / "capacity_ab.json"
+    p.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre1024_rpn128_det8": {"mAP": 0.245},
+        # a would-pass row at a DIFFERENT capacity must not be used
+        "pre6000_rpn300_det8": {"mAP": 0.9},
+    }}))
+    ok, why = bench._gate_det8(_args(), str(p))
+    assert ok and "PASS" in why
+    ok, why = bench._gate_det8(_args(pre_nms=6000, rpn_topn=300), str(p))
+    assert not ok and "rows missing" in why  # no det16 row at 6000/300
+
+
+def test_det8_gate_fails_on_map_drop(bench, tmp_path):
+    p = tmp_path / "capacity_ab.json"
+    p.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre1024_rpn128_det8": {"mAP": 0.230},
+    }}))
+    ok, why = bench._gate_det8(_args(), str(p))
+    assert not ok and "FAIL" in why
+
+
+def test_det8_gate_missing_rows_or_file(bench, tmp_path):
+    p = tmp_path / "capacity_ab.json"
+    p.write_text(json.dumps({"results": {}}))
+    assert not bench._gate_det8(_args(), str(p))[0]
+    assert not bench._gate_det8(_args(), str(tmp_path / "nope.json"))[0]

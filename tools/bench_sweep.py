@@ -40,6 +40,7 @@ ARMS = {
     "det8": ["--max-det", "8"],
     "int8_det8": ["--int8-fc6", "--max-det", "8"],
     "pallas_btl": ["--pallas-bottleneck"],
+    "b32": ["--batch", "32"],   # next rung of the b8->b16 +6.5% ladder
 }
 
 GATES = {
@@ -80,8 +81,10 @@ def main(argv=None):
         if arm not in ARMS:
             print(f"unknown arm {arm!r}; known: {list(ARMS)}", file=sys.stderr)
             return 2
+        # --no-auto-levers: each arm must measure EXACTLY its config
+        # (bench.py's bare-invocation default is to cash in gated levers)
         cmd = [sys.executable, "bench.py", "--steps", str(args.steps),
-               *ARMS[arm], *args.extra]
+               "--no-auto-levers", *ARMS[arm], *args.extra]
         print(f"=== {arm}: {' '.join(cmd)}", file=sys.stderr, flush=True)
         t0 = time.time()
         proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True)

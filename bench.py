@@ -60,6 +60,12 @@ def main():
                          "(DenseInt8; ~2x matmul rate on v5e, the head's "
                          "compute-bound hot spot). Quality-gate with "
                          "tools/quant_ab.py before making this default")
+    ap.add_argument("--int8-trunk", action="store_true",
+                    help="run the ResNet bottleneck convs as int8 MXU "
+                         "convs (per-out-channel weights + per-tensor "
+                         "dynamic activations, int32 accumulate; ~2x conv "
+                         "rate on v5e against the ~14 ms trunk line). "
+                         "Quality-gate with tools/quant_trunk_ab.py")
     ap.add_argument("--pallas-conv1", action="store_true",
                     help="route the trunk's conv1 through the Pallas "
                          "parity-plane matmul kernel (serving path)")
@@ -208,6 +214,10 @@ def main():
         os.environ["I2VSGG_PALLAS_BOTTLENECK"] = "1"      # (same caveat)
     else:
         os.environ.pop("I2VSGG_PALLAS_BOTTLENECK", None)
+    if args.int8_trunk:
+        os.environ["I2VSGG_INT8_TRUNK"] = "1"             # (same caveat)
+    else:
+        os.environ.pop("I2VSGG_INT8_TRUNK", None)
 
     if args.stage == "train":
         from i2vsgg_tpu.train.det_da import (create_train_state,
@@ -280,43 +290,56 @@ def main():
         measurement: results must reach the host."""
         jax.device_get(out)
 
-    def time_program(prog):
+    def time_program(prog, imgs=None, info=None, bsz=None):
+        imgs = images if imgs is None else imgs
+        info = im_info if info is None else info
+        bsz = b if bsz is None else bsz
         log("compiling fused frame program ...")
         t0 = time.time()
-        force(prog(images, im_info))
+        force(prog(imgs, info))
         log(f"compile+first-run: {time.time() - t0:.1f}s")
         for _ in range(args.warmup):
-            force(prog(images, im_info))
+            force(prog(imgs, info))
         t0 = time.time()
         out = None
         for _ in range(args.steps):
-            out = prog(images, im_info)
+            out = prog(imgs, info)
         # device executes in order, so fetching the LAST step's outputs
         # forces completion of the whole timed sequence (one fetch, no
         # per-step sync)
         force(out)
         dt = time.time() - t0
-        fps = args.steps * b / dt
-        log(f"{args.steps} steps x {b} frames in {dt:.3f}s "
+        fps = args.steps * bsz / dt
+        log(f"{args.steps} steps x {bsz} frames in {dt:.3f}s "
             f"-> {fps:.1f} frames/s")
         return fps
 
     fps = time_program(program)
     config = (f"b{b} rpn{args.rpn_topn}/pre{args.pre_nms} det{args.max_det}"
               + (" int8fc" if args.int8_fc6 else "")
+              + (" int8trunk" if args.int8_trunk else "")
               + (" bf16w" if args.bf16_params else ""))
+    winner = program  # the program behind the reported fps/config
 
     # --- quality-gated lever cash-in (driver's bare run = one JSON line,
     # possibly the round's only live-chip session) ---------------------
     if (args.auto_levers and args.stage == "full"
-            and not args.int8_fc6 and args.max_det == 16
+            and not args.int8_fc6 and not args.int8_trunk
+            and args.max_det == 16
             and not args.pallas_conv1 and not args.pallas_bottleneck):
         int8_ok, int8_why = _gate_int8()
         det8_ok, det8_why = _gate_det8(args)
-        log(f"auto-levers: int8 gate {int8_why}; det8 gate {det8_why}")
+        int8t_ok, int8t_why = _gate_int8trunk()
+        log(f"auto-levers: int8 gate {int8_why}; det8 gate {det8_why}; "
+            f"int8trunk gate {int8t_why}")
         lever_md = 8 if det8_ok else 16
-        if int8_ok or det8_ok:
+        if int8_ok or det8_ok or int8t_ok:
             try:
+                if int8t_ok:
+                    # env is read at trace time (prog2's first call); if
+                    # the levered arm loses or fails it is popped below so
+                    # a later b32 retrace of the base program stays fp
+                    os.environ["I2VSGG_INT8_TRUNK"] = "1"
                 sgg2 = SGGModel(trunk=ResNetTrunk(depth=101, dtype=dtype),
                                 vrd=VRDHead(dtype=dtype, pooling="align",
                                             int8_fc=int8_ok),
@@ -331,14 +354,33 @@ def main():
                 cfg2 = (f"b{b} rpn{args.rpn_topn}/pre{args.pre_nms} "
                         f"det{lever_md}"
                         + (" int8fc" if int8_ok else "")
+                        + (" int8trunk" if int8t_ok else "")
                         + (" bf16w" if args.bf16_params else ""))
                 log(f"auto-levers: base {fps:.1f} fps vs levered "
                     f"[{cfg2}] {fps2:.1f} fps")
                 if fps2 > fps:
-                    fps, config = fps2, cfg2
+                    fps, config, winner = fps2, cfg2, prog2
+                else:
+                    os.environ.pop("I2VSGG_INT8_TRUNK", None)
             except Exception as e:  # noqa: BLE001 — never lose the base fps
+                os.environ.pop("I2VSGG_INT8_TRUNK", None)
                 log(f"auto-levers: levered arm failed ({e!r}); "
                     "reporting base config")
+
+    # --- batch-32 rung: batch size is quality-neutral (throughput/chip is
+    # already per-frame) and the 8->16 step measured +6.5%; b32 has never
+    # had a live chip to measure on. Re-time the WINNING program at 2x
+    # batch — same jitted callable, new input shape triggers the compile.
+    if args.auto_levers and args.stage == "full" and args.batch == 16:
+        try:
+            images32 = jnp.concatenate([images, images], axis=0)
+            im_info32 = jnp.concatenate([im_info, im_info], axis=0)
+            fps32 = time_program(winner, images32, im_info32, 2 * b)
+            log(f"auto-levers: b32 {fps32:.1f} fps vs b16 winner {fps:.1f}")
+            if fps32 > fps:
+                fps, config = fps32, config.replace("b16", "b32", 1)
+        except Exception as e:  # noqa: BLE001
+            log(f"auto-levers: b32 arm failed ({e!r}); keeping b16")
 
     metric = ("det_sgg_inference_throughput" if args.stage == "full"
               else f"{args.stage}_throughput")
@@ -364,6 +406,27 @@ def _gate_int8(path="runs/quant_ab/quant_ab.json", tol=0.01):
         return ok, (f"{'PASS' if ok else 'FAIL'} "
                     f"(d pred_mAP {d['pred_mAP']:+.4f}, "
                     f"d top1 {d['top1_acc']:+.4f})")
+    except Exception as e:  # noqa: BLE001
+        return False, f"unreadable ({e!r})"
+
+
+def _gate_int8trunk(path="runs/quant_trunk_ab/quant_trunk_ab.json",
+                    tol=0.01):
+    """int8 trunk convs pass when the converged-checkpoint detection
+    eval A/B (tools/quant_trunk_ab.py) shows int8 within `tol` mAP of
+    the fp trunk on every evaluated dataset."""
+    import os
+    if not os.path.exists(path):
+        return False, f"NOT RUN ({path} missing)"
+    try:
+        with open(path) as f:
+            d = json.load(f).get("delta")
+        if not d:
+            return False, "incomplete (no delta — A/B still running?)"
+        ok = all(v >= -tol for v in d.values())
+        return ok, (f"{'PASS' if ok else 'FAIL'} ("
+                    + ", ".join(f"d mAP[{k}] {v:+.4f}"
+                                for k, v in d.items()) + ")")
     except Exception as e:  # noqa: BLE001
         return False, f"unreadable ({e!r})"
 

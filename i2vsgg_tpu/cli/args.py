@@ -125,6 +125,19 @@ def parse_args(argv=None):
                         "matmuls (DenseInt8 — checkpoint-compatible param "
                         "tree). ~2x matmul rate on the head's compute-bound "
                         "hot spot; quality-gate with tools/quant_ab.py")
+    p.add_argument("--int8_trunk", nargs="?", const="mxu",
+                   choices=["off", "mxu", "sim"], default="off",
+                   help="eval/serve: run the ResNet bottleneck convs "
+                        "int8-quantized (per-out-channel weights + "
+                        "per-tensor dynamic activations — BNConv, "
+                        "models/backbones.py). 'mxu' (the bare-flag "
+                        "default) = real int8 convs, int32 accumulate, "
+                        "~2x conv rate on v5e against the trunk's ~14 ms "
+                        "serving line; 'sim' = the same quantized taps "
+                        "convolved in fp32 (fake-quant — int8 convs run "
+                        "~45x slower than bf16 on XLA:CPU, so CPU quality "
+                        "gates use sim; equivalence test-pinned). "
+                        "Quality-gate with tools/quant_trunk_ab.py")
     p.add_argument("--semi", action="store_true")
     # TPU-native additions
     p.add_argument("--mesh", default=0, type=int,
@@ -180,6 +193,16 @@ _SET_CFGS = ["ANCHOR_SCALES", "[8, 16, 32]", "ANCHOR_RATIOS", "[0.5, 1, 2]",
 
 def set_dataset_args(args, test: bool = False):
     """Attach imdb names + cfg overrides. [parser_func.py:193-213]"""
+    # trace-time env gates (BNConv reads these when the program traces);
+    # set AND pop so a stale shell env can't leak into an A/B arm
+    import os as _os
+    mode = getattr(args, "int8_trunk", "off")
+    if mode == "mxu":
+        _os.environ["I2VSGG_INT8_TRUNK"] = "1"
+    elif mode == "sim":
+        _os.environ["I2VSGG_INT8_TRUNK"] = "sim"
+    else:
+        _os.environ.pop("I2VSGG_INT8_TRUNK", None)
     if not test:
         if args.dataset not in _WIRING:
             raise KeyError(f"unknown --dataset {args.dataset}")

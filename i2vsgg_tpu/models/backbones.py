@@ -131,6 +131,42 @@ class BNConv(nn.Module):
             out = (x.reshape(r * h * wd, c)
                    @ w.reshape(c, self.features).astype(self.dtype))
             return out.reshape(r, h, wd, self.features)
+        import os as _os
+        mode = _os.environ.get("I2VSGG_INT8_TRUNK")
+        if mode in ("1", "sim"):
+            # int8 MXU conv (serving-only, forward-only; v5e runs int8 at
+            # 2x the bf16 rate — PERF.md "Path to 500" #1's precision
+            # lever). Per-output-channel symmetric weight quantization +
+            # per-tensor dynamic activation quantization, fp32 rescale
+            # after the int32 accumulate — same scheme as DenseInt8
+            # (models/sgg.py). Quality-gate: tools/quant_trunk_ab.py.
+            # mode "sim" = fake-quant: the SAME quantized integer taps
+            # convolved in fp32 (int8 convs run ~45x slower than bf16 on
+            # XLA:CPU, so the CPU quality gate uses sim; equivalence to
+            # the int8 path up to accumulator rounding is test-pinned in
+            # tests/test_int8_trunk.py).
+            f32 = jnp.float32
+            wf = w.astype(f32)
+            w_s = jnp.maximum(
+                jnp.max(jnp.abs(wf.reshape(-1, self.features)), axis=0),
+                1e-8) / 127.0                                  # (F,)
+            w_q = jnp.round(wf / w_s)
+            xf = x.astype(f32)
+            a_s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+            x_q = jnp.round(xf / a_s)
+            if mode == "sim":
+                y = jax.lax.conv_general_dilated(
+                    x_q, w_q, window_strides=(self.stride, self.stride),
+                    padding=[(k // 2, k // 2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return (y * (a_s * w_s)).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x_q.astype(jnp.int8), w_q.astype(jnp.int8),
+                window_strides=(self.stride, self.stride),
+                padding=[(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return (y.astype(f32) * (a_s * w_s)).astype(self.dtype)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype),
             window_strides=(self.stride, self.stride),

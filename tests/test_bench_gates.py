@@ -81,3 +81,28 @@ def test_det8_gate_missing_rows_or_file(bench, tmp_path):
     p.write_text(json.dumps({"results": {}}))
     assert not bench._gate_det8(_args(), str(p))[0]
     assert not bench._gate_det8(_args(), str(tmp_path / "nope.json"))[0]
+
+
+def test_int8trunk_gate_passes_within_tol(bench, tmp_path):
+    p = tmp_path / "quant_trunk_ab.json"
+    p.write_text(json.dumps({"delta": {"MVRD": -0.004, "MVidVRD": 0.002}}))
+    ok, why = bench._gate_int8trunk(str(p))
+    assert ok and "PASS" in why
+
+
+def test_int8trunk_gate_fails_on_any_dataset_regression(bench, tmp_path):
+    p = tmp_path / "quant_trunk_ab.json"
+    p.write_text(json.dumps({"delta": {"MVRD": 0.001, "MVidVRD": -0.03}}))
+    ok, why = bench._gate_int8trunk(str(p))
+    assert not ok and "FAIL" in why
+
+
+def test_int8trunk_gate_missing_or_partial_is_not_a_pass(bench, tmp_path):
+    ok, why = bench._gate_int8trunk(str(tmp_path / "nope.json"))
+    assert not ok and "NOT RUN" in why
+    p = tmp_path / "quant_trunk_ab.json"
+    # quant_trunk_ab.py writes the artifact incrementally; no "delta" key
+    # means the int8 arm hasn't finished — must not gate a lever on it
+    p.write_text(json.dumps({"ckpt": "x", "fp": {"MVRD": {"mAP": 0.3}}}))
+    ok, why = bench._gate_int8trunk(str(p))
+    assert not ok and "incomplete" in why

@@ -1,0 +1,123 @@
+"""int8 trunk-conv serving path (I2VSGG_INT8_TRUNK, BNConv —
+models/backbones.py): per-output-channel symmetric weight quantization +
+per-tensor dynamic activation quantization with an int32 accumulate.
+Quality is gated separately on a trained checkpoint
+(tools/quant_trunk_ab.py); these tests pin the mechanism — the param
+tree is unchanged, the quantized conv tracks the fp conv within the
+8-bit error budget, and the env gate is trace-time and stale-proof."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2vsgg_tpu.models.backbones import BNConv, ResNetTrunk
+
+
+@pytest.fixture
+def int8_env():
+    os.environ["I2VSGG_INT8_TRUNK"] = "1"
+    yield
+    os.environ.pop("I2VSGG_INT8_TRUNK", None)
+
+
+def _bnconv(k, stride, x):
+    m = BNConv(32, x.shape[-1], k, stride, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    return m, params
+
+
+def test_int8_conv_tracks_fp_within_quant_budget(int8_env):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 20, 24).astype(np.float32))
+    for k, stride in ((1, 1), (3, 1), (1, 2), (3, 2)):
+        m, params = _bnconv(k, stride, x)
+        y_q = m.apply(params, x)
+        os.environ.pop("I2VSGG_INT8_TRUNK", None)
+        try:
+            y_fp = m.apply(params, x)
+        finally:
+            os.environ["I2VSGG_INT8_TRUNK"] = "1"
+        assert y_q.shape == y_fp.shape
+        # two symmetric 8-bit quantizations (weights per-channel,
+        # activations per-tensor) -> relative output error well under 2%
+        # for gaussian data
+        err = (jnp.linalg.norm(y_q - y_fp)
+               / jnp.maximum(jnp.linalg.norm(y_fp), 1e-8))
+        assert float(err) < 0.02, (k, stride, float(err))
+
+
+def test_int8_param_tree_is_unchanged(int8_env):
+    x = jnp.zeros((1, 8, 8, 8), jnp.float32)
+    m = BNConv(16, 8, 3, 1, dtype=jnp.float32)
+    p_q = m.init(jax.random.PRNGKey(0), x)
+    os.environ.pop("I2VSGG_INT8_TRUNK", None)
+    try:
+        p_fp = m.init(jax.random.PRNGKey(0), x)
+    finally:
+        os.environ["I2VSGG_INT8_TRUNK"] = "1"
+    assert jax.tree_util.tree_structure(p_q) == \
+        jax.tree_util.tree_structure(p_fp)
+    for a, b in zip(jax.tree_util.tree_leaves(p_q),
+                    jax.tree_util.tree_leaves(p_fp)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_trunk_forward_finite_and_close(int8_env):
+    """Full trunk forward: int8 bottleneck convs stay within a few
+    percent of the fp trunk end to end (errors compound across ~30
+    convs but the residual stream keeps them bounded)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 20)
+    trunk = ResNetTrunk(depth=50, dtype=jnp.float32)
+    params = trunk.init(jax.random.PRNGKey(0), x)
+    y_q, tap_q = trunk.apply(params, x)
+    os.environ.pop("I2VSGG_INT8_TRUNK", None)
+    try:
+        y_fp, tap_fp = trunk.apply(params, x)
+    finally:
+        os.environ["I2VSGG_INT8_TRUNK"] = "1"
+    assert bool(jnp.all(jnp.isfinite(y_q)))
+    for q, fp in ((y_q, y_fp), (tap_q, tap_fp)):
+        err = (jnp.linalg.norm(q - fp)
+               / jnp.maximum(jnp.linalg.norm(fp), 1e-8))
+        assert float(err) < 0.10, float(err)
+
+
+def test_env_gate_off_is_exact_fp_path():
+    """Without the env var the fp path must be bit-identical to before
+    (the int8 branch must not perturb the default serving program)."""
+    os.environ.pop("I2VSGG_INT8_TRUNK", None)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 12, 12, 8).astype(np.float32))
+    m = BNConv(16, 8, 3, 1, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    ref = jax.lax.conv_general_dilated(
+        x, params["params"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
+def test_sim_mode_matches_real_int8_path():
+    """'sim' (fake-quant fp32 conv — what the CPU quality gate runs) must
+    equal the real int8/int32 path up to fp32 accumulator rounding: the
+    integer taps are identical, only the accumulator differs (int32 is
+    exact; fp32 is exact below 2^24, and a 3x3x24 conv's running sums of
+    |q|<=127 products stay far below that)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 16, 20, 24).astype(np.float32))
+    m = BNConv(32, 24, 3, 1, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    os.environ["I2VSGG_INT8_TRUNK"] = "1"
+    try:
+        y_mxu = m.apply(params, x)
+        os.environ["I2VSGG_INT8_TRUNK"] = "sim"
+        y_sim = m.apply(params, x)
+    finally:
+        os.environ.pop("I2VSGG_INT8_TRUNK", None)
+    np.testing.assert_allclose(np.asarray(y_sim), np.asarray(y_mxu),
+                               rtol=1e-6, atol=1e-6)

@@ -40,6 +40,8 @@ ARMS = {
     "det8": ["--max-det", "8"],
     "int8_det8": ["--int8-fc6", "--max-det", "8"],
     "pallas_btl": ["--pallas-bottleneck"],
+    "int8_trunk": ["--int8-trunk"],
+    "int8_all": ["--int8-trunk", "--int8-fc6", "--max-det", "8"],
     "b32": ["--batch", "32"],   # next rung of the b8->b16 +6.5% ladder
 }
 
@@ -47,6 +49,8 @@ GATES = {
     "int8_fc6": "runs/quant_ab/quant_ab.json",
     "det8": "runs/capacity_ab_r4/capacity_ab.json",
     "int8_det8": "runs/quant_ab/quant_ab.json+runs/capacity_ab_r4/capacity_ab.json",
+    "int8_trunk": "runs/quant_trunk_ab/quant_trunk_ab.json",
+    "int8_all": "runs/quant_ab/quant_ab.json+runs/capacity_ab_r4/capacity_ab.json+runs/quant_trunk_ab/quant_trunk_ab.json",
 }
 
 

@@ -78,6 +78,12 @@ def main():
                              "train"),
                     help="bisect: backbone/det/+decode/full inference, or "
                          "the full adversarial-DA train step")
+    ap.add_argument("--lever-budget-s", type=float, default=1500.0,
+                    help="wall-clock budget for the auto-lever arms: each "
+                         "extra arm (levered config, b32) only starts if "
+                         "total elapsed time is under this. Bounds the "
+                         "round-end run's exposure to slow remote compiles "
+                         "(~5-8 min/arm through the axon tunnel)")
     ap.add_argument("--auto-levers", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="after measuring the requested config, also try "
@@ -314,12 +320,42 @@ def main():
             f"-> {fps:.1f} frames/s")
         return fps
 
+    t_start = time.time()
     fps = time_program(program)
     config = (f"b{b} rpn{args.rpn_topn}/pre{args.pre_nms} det{args.max_det}"
               + (" int8fc" if args.int8_fc6 else "")
               + (" int8trunk" if args.int8_trunk else "")
               + (" bf16w" if args.bf16_params else ""))
     winner = program  # the program behind the reported fps/config
+
+    metric = ("det_sgg_inference_throughput" if args.stage == "full"
+              else f"{args.stage}_throughput")
+
+    def emit(code=None):
+        print(json.dumps({
+            "metric": metric,
+            "value": round(fps, 2),
+            "unit": ("frames/s/chip" if args.stage != "train"
+                     else "imgs/s/chip"),
+            "vs_baseline": round(fps / 500.0, 4),
+            "config": config,
+        }), flush=True)
+        if code is not None:
+            os._exit(code)
+
+    # a base number exists from here on — if the driver times this run
+    # out mid-lever-arm, SIGTERM still yields the one JSON line instead
+    # of losing the round's measurement
+    import signal
+    signal.signal(signal.SIGTERM, lambda *_: emit(0))
+
+    def levers_timeboxed(label):
+        left = args.lever_budget_s - (time.time() - t_start)
+        if left <= 0:
+            log(f"auto-levers: skipping {label} (lever budget exhausted, "
+                f"{args.lever_budget_s:.0f}s)")
+            return False
+        return True
 
     # --- quality-gated lever cash-in (driver's bare run = one JSON line,
     # possibly the round's only live-chip session) ---------------------
@@ -333,7 +369,7 @@ def main():
         log(f"auto-levers: int8 gate {int8_why}; det8 gate {det8_why}; "
             f"int8trunk gate {int8t_why}")
         lever_md = 8 if det8_ok else 16
-        if int8_ok or det8_ok or int8t_ok:
+        if (int8_ok or det8_ok or int8t_ok) and levers_timeboxed("levered"):
             try:
                 if int8t_ok:
                     # env is read at trace time (prog2's first call); if
@@ -371,7 +407,8 @@ def main():
     # already per-frame) and the 8->16 step measured +6.5%; b32 has never
     # had a live chip to measure on. Re-time the WINNING program at 2x
     # batch — same jitted callable, new input shape triggers the compile.
-    if args.auto_levers and args.stage == "full" and args.batch == 16:
+    if (args.auto_levers and args.stage == "full" and args.batch == 16
+            and levers_timeboxed("b32")):
         try:
             images32 = jnp.concatenate([images, images], axis=0)
             im_info32 = jnp.concatenate([im_info, im_info], axis=0)
@@ -382,15 +419,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"auto-levers: b32 arm failed ({e!r}); keeping b16")
 
-    metric = ("det_sgg_inference_throughput" if args.stage == "full"
-              else f"{args.stage}_throughput")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(fps, 2),
-        "unit": "frames/s/chip" if args.stage != "train" else "imgs/s/chip",
-        "vs_baseline": round(fps / 500.0, 4),
-        "config": config,
-    }))
+    emit()
 
 
 def _gate_int8(path="runs/quant_ab/quant_ab.json", tol=0.01):

@@ -125,8 +125,7 @@ def parse_args(argv=None):
                         "matmuls (DenseInt8 — checkpoint-compatible param "
                         "tree). ~2x matmul rate on the head's compute-bound "
                         "hot spot; quality-gate with tools/quant_ab.py")
-    p.add_argument("--int8_trunk", nargs="?", const="mxu",
-                   choices=["off", "mxu", "sim"], default="off",
+    p.add_argument("--int8_trunk", nargs="?", const="mxu", default="off",
                    help="eval/serve: run the ResNet bottleneck convs "
                         "int8-quantized (per-out-channel weights + "
                         "per-tensor dynamic activations — BNConv, "
@@ -136,8 +135,14 @@ def parse_args(argv=None):
                         "serving line; 'sim' = the same quantized taps "
                         "convolved in fp32 (fake-quant — int8 convs run "
                         "~45x slower than bf16 on XLA:CPU, so CPU quality "
-                        "gates use sim; equivalence test-pinned). "
-                        "Quality-gate with tools/quant_trunk_ab.py")
+                        "gates use sim; equivalence test-pinned). Either "
+                        "kind takes an optional layer scope, e.g. "
+                        "'sim:layer1,layer2' = partial-depth int8 (only "
+                        "convs whose module path contains a token "
+                        "quantize — the full-trunk gate FAILED in round "
+                        "4, so depth-restricted variants are the re-gate "
+                        "candidates). Quality-gate with "
+                        "tools/quant_trunk_ab.py")
     p.add_argument("--semi", action="store_true")
     # TPU-native additions
     p.add_argument("--mesh", default=0, type=int,
@@ -196,13 +201,18 @@ def set_dataset_args(args, test: bool = False):
     # trace-time env gates (BNConv reads these when the program traces);
     # set AND pop so a stale shell env can't leak into an A/B arm
     import os as _os
-    mode = getattr(args, "int8_trunk", "off")
-    if mode == "mxu":
-        _os.environ["I2VSGG_INT8_TRUNK"] = "1"
-    elif mode == "sim":
-        _os.environ["I2VSGG_INT8_TRUNK"] = "sim"
-    else:
+    mode = getattr(args, "int8_trunk", "off") or "off"
+    kind, _, only = mode.partition(":")
+    scope = f":{only}" if only else ""
+    if kind == "mxu":
+        _os.environ["I2VSGG_INT8_TRUNK"] = "1" + scope
+    elif kind == "sim":
+        _os.environ["I2VSGG_INT8_TRUNK"] = "sim" + scope
+    elif kind == "off":
         _os.environ.pop("I2VSGG_INT8_TRUNK", None)
+    else:
+        raise ValueError(f"--int8_trunk: unknown kind {kind!r} "
+                         "(off | mxu[:layers] | sim[:layers])")
     if not test:
         if args.dataset not in _WIRING:
             raise KeyError(f"unknown --dataset {args.dataset}")

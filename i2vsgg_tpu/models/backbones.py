@@ -132,7 +132,17 @@ class BNConv(nn.Module):
                    @ w.reshape(c, self.features).astype(self.dtype))
             return out.reshape(r, h, wd, self.features)
         import os as _os
-        mode = _os.environ.get("I2VSGG_INT8_TRUNK")
+        mode = _os.environ.get("I2VSGG_INT8_TRUNK") or ""
+        # optional layer scoping: "<kind>:tok1,tok2" quantizes only convs
+        # whose module path contains a token (e.g. "sim:layer1,layer2" =
+        # partial-depth int8 — the round-4 full-trunk A/B FAILED its
+        # quality gate at -0.018 target mAP, so depth-restricted variants
+        # are the re-gate candidates; tools/quant_trunk_ab.py --mode).
+        mode, _, only = mode.partition(":")
+        if only:
+            path = "/".join(self.scope.path)
+            if not any(tok and tok in path for tok in only.split(",")):
+                mode = ""
         if mode in ("1", "sim"):
             # int8 MXU conv (serving-only, forward-only; v5e runs int8 at
             # 2x the bf16 rate — PERF.md "Path to 500" #1's precision

@@ -121,3 +121,45 @@ def test_sim_mode_matches_real_int8_path():
         os.environ.pop("I2VSGG_INT8_TRUNK", None)
     np.testing.assert_allclose(np.asarray(y_sim), np.asarray(y_mxu),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_layer_scoped_mode_quantizes_only_matching_paths():
+    """'<kind>:tok1,tok2' quantizes only convs whose module path contains
+    a token (partial-depth int8 — the full-trunk A/B failed its round-4
+    quality gate, so depth-restricted variants are the re-gate
+    candidates). Non-matching scope must be the EXACT fp program; a scope
+    covering every trunk stage must reproduce the unscoped mode."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 20)
+    trunk = ResNetTrunk(depth=50, dtype=jnp.float32)
+    params = trunk.init(jax.random.PRNGKey(0), x)
+
+    def run(mode):
+        if mode:
+            os.environ["I2VSGG_INT8_TRUNK"] = mode
+        else:
+            os.environ.pop("I2VSGG_INT8_TRUNK", None)
+        try:
+            return trunk.apply(params, x)
+        finally:
+            os.environ.pop("I2VSGG_INT8_TRUNK", None)
+
+    y_fp, tap_fp = run("")
+    y_none, tap_none = run("sim:layer9")       # no trunk path matches
+    np.testing.assert_array_equal(np.asarray(y_none), np.asarray(y_fp))
+    np.testing.assert_array_equal(np.asarray(tap_none), np.asarray(tap_fp))
+
+    y_l2, tap_l2 = run("sim:layer2")           # scope: layer2 only
+    # the layer2 tap is quantized, and the change propagates to layer3
+    assert float(jnp.linalg.norm(tap_l2 - tap_fp)) > 0
+    assert float(jnp.linalg.norm(y_l2 - y_fp)) > 0
+
+    y_l1, tap_l1 = run("sim:layer1")           # scope: layer1 only
+    # layer1 precedes the tap, so both outputs move — but differently
+    # from the layer2 scope (the scopes really select different convs)
+    assert float(jnp.linalg.norm(tap_l1 - tap_l2)) > 0
+
+    y_all, tap_all = run("sim:layer1,layer2,layer3")
+    y_sim, tap_sim = run("sim")                # unscoped = every BNConv
+    np.testing.assert_array_equal(np.asarray(y_all), np.asarray(y_sim))
+    np.testing.assert_array_equal(np.asarray(tap_all), np.asarray(tap_sim))

@@ -52,6 +52,11 @@ def main(argv=None):
     ap.add_argument("--pre_nms", type=int, default=1024)
     ap.add_argument("--max_det", type=int, default=16)
     ap.add_argument("--json", default="runs/quant_trunk_ab/quant_trunk_ab.json")
+    ap.add_argument("--mode", default="sim",
+                    help="int8 arm's --int8_trunk value. 'sim' = full-trunk "
+                         "fake-quant (FAILED the round-4 gate at -0.018 "
+                         "target mAP); scope it for the partial-depth "
+                         "re-gates, e.g. 'sim:layer1,layer2'")
     args = ap.parse_args(argv)
 
     import jax
@@ -66,7 +71,7 @@ def main(argv=None):
 
     ckpt = args.ckpt
     datasets = [args.dataset] + ([args.dataset_t] if args.dataset_t else [])
-    results = {"ckpt": ckpt}
+    results = {"ckpt": ckpt, "mode": args.mode}
     for arm in ("fp", "int8"):
         r = {}
         for ds in datasets:
@@ -76,7 +81,7 @@ def main(argv=None):
             # run ~45x slower than bf16 on XLA:CPU; sim==mxu up to
             # accumulator rounding (pinned by tests/test_int8_trunk.py)
             aps = eval_main(
-                (["--int8_trunk", "sim"] if arm == "int8" else []) + [
+                (["--int8_trunk", args.mode] if arm == "int8" else []) + [
                 "--dataset", ds, "--net", args.net, "--bs", "1",
                 "--ic", "--gc", "--save_dir", args.out,
                 "--load_name", ckpt,

@@ -57,6 +57,11 @@ def main(argv=None):
                          "fake-quant (FAILED the round-4 gate at -0.018 "
                          "target mAP); scope it for the partial-depth "
                          "re-gates, e.g. 'sim:layer1,layer2'")
+    ap.add_argument("--reuse_fp", default="",
+                    help="path to an existing quant_trunk_ab.json whose fp "
+                         "arm used the SAME ckpt/datasets/capacity — copies "
+                         "it instead of re-evaluating (halves a re-gate; "
+                         "the fp arm is mode-independent)")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,7 +77,20 @@ def main(argv=None):
     ckpt = args.ckpt
     datasets = [args.dataset] + ([args.dataset_t] if args.dataset_t else [])
     results = {"ckpt": ckpt, "mode": args.mode}
+    if args.reuse_fp:
+        with open(args.reuse_fp) as f:
+            prev = json.load(f)
+        assert prev["ckpt"] == ckpt, (
+            f"--reuse_fp arm was evaluated on {prev['ckpt']}, not {ckpt}")
+        missing = [ds for ds in datasets if ds not in prev["fp"]]
+        assert not missing, f"--reuse_fp arm lacks datasets {missing}"
+        results["fp"] = {ds: prev["fp"][ds] for ds in datasets}
+        results["fp_reused_from"] = args.reuse_fp
+        print("fp arm reused:",
+              {ds: results["fp"][ds]["mAP"] for ds in datasets})
     for arm in ("fp", "int8"):
+        if arm in results:
+            continue
         r = {}
         for ds in datasets:
             t0 = time.time()

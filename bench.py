@@ -365,7 +365,7 @@ def main():
             and not args.pallas_conv1 and not args.pallas_bottleneck):
         int8_ok, int8_why = _gate_int8()
         det8_ok, det8_why = _gate_det8(args)
-        int8t_ok, int8t_why = _gate_int8trunk()
+        int8t_ok, int8t_why, int8t_env = _gate_int8trunk()
         log(f"auto-levers: int8 gate {int8_why}; det8 gate {det8_why}; "
             f"int8trunk gate {int8t_why}")
         lever_md = 8 if det8_ok else 16
@@ -375,7 +375,7 @@ def main():
                     # env is read at trace time (prog2's first call); if
                     # the levered arm loses or fails it is popped below so
                     # a later b32 retrace of the base program stays fp
-                    os.environ["I2VSGG_INT8_TRUNK"] = "1"
+                    os.environ["I2VSGG_INT8_TRUNK"] = int8t_env
                 sgg2 = SGGModel(trunk=ResNetTrunk(depth=101, dtype=dtype),
                                 vrd=VRDHead(dtype=dtype, pooling="align",
                                             int8_fc=int8_ok),
@@ -390,7 +390,7 @@ def main():
                 cfg2 = (f"b{b} rpn{args.rpn_topn}/pre{args.pre_nms} "
                         f"det{lever_md}"
                         + (" int8fc" if int8_ok else "")
-                        + (" int8trunk" if int8t_ok else "")
+                        + (f" int8trunk[{int8t_env}]" if int8t_ok else "")
                         + (" bf16w" if args.bf16_params else ""))
                 log(f"auto-levers: base {fps:.1f} fps vs levered "
                     f"[{cfg2}] {fps2:.1f} fps")
@@ -439,25 +439,53 @@ def _gate_int8(path="runs/quant_ab/quant_ab.json", tol=0.01):
         return False, f"unreadable ({e!r})"
 
 
-def _gate_int8trunk(path="runs/quant_trunk_ab/quant_trunk_ab.json",
-                    tol=0.01):
-    """int8 trunk convs pass when the converged-checkpoint detection
-    eval A/B (tools/quant_trunk_ab.py) shows int8 within `tol` mAP of
-    the fp trunk on every evaluated dataset."""
+def _gate_int8trunk(path="runs/quant_trunk_ab", tol=0.01):
+    """int8 trunk convs pass when a converged-checkpoint detection eval
+    A/B (tools/quant_trunk_ab.py) shows int8 within `tol` mAP of the fp
+    trunk on every evaluated dataset. `path` is a directory of A/B
+    artifacts (one per quantization scope — the round-4 FULL-trunk A/B
+    failed at -0.018 target mAP, so layer-scoped variants are gated in
+    their own files) or a single artifact file. Returns (ok, why,
+    env_mode): env_mode is the I2VSGG_INT8_TRUNK value of the
+    widest-scope PASSING variant ("1" = full trunk, "1:layer3" = scoped
+    — real int8 convs; the gates run in 'sim', pinned equivalent by
+    tests/test_int8_trunk.py), or None."""
+    import glob
     import os
-    if not os.path.exists(path):
-        return False, f"NOT RUN ({path} missing)"
-    try:
-        with open(path) as f:
-            d = json.load(f).get("delta")
-        if not d:
-            return False, "incomplete (no delta — A/B still running?)"
-        ok = all(v >= -tol for v in d.values())
-        return ok, (f"{'PASS' if ok else 'FAIL'} ("
-                    + ", ".join(f"d mAP[{k}] {v:+.4f}"
-                                for k, v in d.items()) + ")")
-    except Exception as e:  # noqa: BLE001
-        return False, f"unreadable ({e!r})"
+    files = ([path] if path.endswith(".json")
+             else sorted(glob.glob(os.path.join(path, "*.json"))))
+    files = [p for p in files if os.path.exists(p)]
+    if not files:
+        return False, f"NOT RUN ({path} missing/empty)", None
+    best = None  # (scope width, env_mode)
+    msgs = []
+    for p in files:
+        name = os.path.basename(p)
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            delta = d.get("delta")
+            if not delta:
+                msgs.append(f"{name} incomplete (no delta — A/B still "
+                            "running?)")
+                continue
+            ok = all(v >= -tol for v in delta.values())
+            scope = d.get("mode", "sim").partition(":")[2]
+            msgs.append(f"{name}[{d.get('mode', 'sim')}] "
+                        f"{'PASS' if ok else 'FAIL'} ("
+                        + ", ".join(f"d mAP[{k}] {v:+.4f}"
+                                    for k, v in delta.items()) + ")")
+            if ok:
+                # wider scope = more convs quantized = more speedup;
+                # unscoped (full trunk) beats any layer list
+                width = 99 if not scope else len(scope.split(","))
+                env = "1" + (f":{scope}" if scope else "")
+                if best is None or width > best[0]:
+                    best = (width, env)
+        except Exception as e:  # noqa: BLE001
+            msgs.append(f"{name} unreadable ({e!r})")
+    why = "; ".join(msgs)
+    return (True, why, best[1]) if best else (False, why, None)
 
 
 def _gate_det8(args, path="runs/capacity_ab_r4/capacity_ab.json", tol=0.01):

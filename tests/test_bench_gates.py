@@ -86,23 +86,54 @@ def test_det8_gate_missing_rows_or_file(bench, tmp_path):
 def test_int8trunk_gate_passes_within_tol(bench, tmp_path):
     p = tmp_path / "quant_trunk_ab.json"
     p.write_text(json.dumps({"delta": {"MVRD": -0.004, "MVidVRD": 0.002}}))
-    ok, why = bench._gate_int8trunk(str(p))
-    assert ok and "PASS" in why
+    ok, why, env = bench._gate_int8trunk(str(p))
+    assert ok and "PASS" in why and env == "1"
 
 
 def test_int8trunk_gate_fails_on_any_dataset_regression(bench, tmp_path):
     p = tmp_path / "quant_trunk_ab.json"
     p.write_text(json.dumps({"delta": {"MVRD": 0.001, "MVidVRD": -0.03}}))
-    ok, why = bench._gate_int8trunk(str(p))
-    assert not ok and "FAIL" in why
+    ok, why, env = bench._gate_int8trunk(str(p))
+    assert not ok and "FAIL" in why and env is None
 
 
 def test_int8trunk_gate_missing_or_partial_is_not_a_pass(bench, tmp_path):
-    ok, why = bench._gate_int8trunk(str(tmp_path / "nope.json"))
-    assert not ok and "NOT RUN" in why
+    ok, why, env = bench._gate_int8trunk(str(tmp_path / "nope.json"))
+    assert not ok and "NOT RUN" in why and env is None
     p = tmp_path / "quant_trunk_ab.json"
     # quant_trunk_ab.py writes the artifact incrementally; no "delta" key
     # means the int8 arm hasn't finished — must not gate a lever on it
     p.write_text(json.dumps({"ckpt": "x", "fp": {"MVRD": {"mAP": 0.3}}}))
-    ok, why = bench._gate_int8trunk(str(p))
-    assert not ok and "incomplete" in why
+    ok, why, env = bench._gate_int8trunk(str(p))
+    assert not ok and "incomplete" in why and env is None
+
+
+def test_int8trunk_gate_scans_dir_and_picks_widest_passing_scope(
+        bench, tmp_path):
+    """The round-4 full-trunk A/B failed; layer-scoped re-gates live in
+    sibling files. The gate must scan the directory, skip FAILing
+    variants, and return the widest PASSING scope's env mode (real-int8
+    kind '1', scope preserved)."""
+    (tmp_path / "quant_trunk_ab.json").write_text(json.dumps(
+        {"mode": "sim", "delta": {"MVRD": -0.007, "MVidVRD": -0.018}}))
+    (tmp_path / "quant_trunk_l3.json").write_text(json.dumps(
+        {"mode": "sim:layer3", "delta": {"MVRD": -0.002, "MVidVRD": -0.004}}))
+    ok, why, env = bench._gate_int8trunk(str(tmp_path))
+    assert ok and env == "1:layer3"
+    assert "FAIL" in why and "PASS" in why  # both variants reported
+    # a passing wider scope must win over the narrower one
+    (tmp_path / "quant_trunk_l23.json").write_text(json.dumps(
+        {"mode": "sim:layer2,layer3",
+         "delta": {"MVRD": -0.001, "MVidVRD": -0.002}}))
+    ok, why, env = bench._gate_int8trunk(str(tmp_path))
+    assert ok and env == "1:layer2,layer3"
+    # ... and a passing FULL-trunk artifact over any scoped one
+    (tmp_path / "quant_trunk_ab.json").write_text(json.dumps(
+        {"mode": "sim", "delta": {"MVRD": -0.001, "MVidVRD": -0.001}}))
+    ok, why, env = bench._gate_int8trunk(str(tmp_path))
+    assert ok and env == "1"
+
+
+def test_int8trunk_gate_empty_dir_is_not_run(bench, tmp_path):
+    ok, why, env = bench._gate_int8trunk(str(tmp_path))
+    assert not ok and "NOT RUN" in why and env is None

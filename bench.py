@@ -66,6 +66,12 @@ def main():
                          "dynamic activations, int32 accumulate; ~2x conv "
                          "rate on v5e against the ~14 ms trunk line). "
                          "Quality-gate with tools/quant_trunk_ab.py")
+    ap.add_argument("--int8-trunk-scope", default="",
+                    help="layer-scoped int8 trunk, e.g. '1:layer3,layer4' "
+                         "(the gated production scope) — lets staged "
+                         "profiling (--stage backbone/det) run the exact "
+                         "levered trunk config. Ignored if --int8-trunk "
+                         "(full scope) is set")
     ap.add_argument("--pallas-conv1", action="store_true",
                     help="route the trunk's conv1 through the Pallas "
                          "parity-plane matmul kernel (serving path)")
@@ -207,6 +213,13 @@ def main():
         from i2vsgg_tpu.utils.params import bf16_storage_cast
         det_params = bf16_storage_cast(det_params)
         sgg_params = bf16_storage_cast(sgg_params)
+    if args.int8_trunk or args.int8_trunk_scope:
+        # hoist the per-step weight-quant chain out of the serving program
+        # (bit-identical integer taps — tests/test_int8_trunk.py)
+        from i2vsgg_tpu.utils.params import quantize_trunk_params
+        scope = ("" if args.int8_trunk
+                 else args.int8_trunk_scope.partition(":")[2])
+        det_params = quantize_trunk_params(det_params, scope)
     det_params = jax.device_put(det_params, dev)
     sgg_params = jax.device_put(sgg_params, dev)
     log(f"init: {time.time() - t0:.1f}s")
@@ -222,6 +235,8 @@ def main():
         os.environ.pop("I2VSGG_PALLAS_BOTTLENECK", None)
     if args.int8_trunk:
         os.environ["I2VSGG_INT8_TRUNK"] = "1"             # (same caveat)
+    elif args.int8_trunk_scope:
+        os.environ["I2VSGG_INT8_TRUNK"] = args.int8_trunk_scope
     else:
         os.environ.pop("I2VSGG_INT8_TRUNK", None)
 
@@ -325,6 +340,8 @@ def main():
     config = (f"b{b} rpn{args.rpn_topn}/pre{args.pre_nms} det{args.max_det}"
               + (" int8fc" if args.int8_fc6 else "")
               + (" int8trunk" if args.int8_trunk else "")
+              + (f" int8trunk[{args.int8_trunk_scope}]"
+                 if args.int8_trunk_scope and not args.int8_trunk else "")
               + (" bf16w" if args.bf16_params else ""))
     winner = program  # the program behind the reported fps/config
 
@@ -361,7 +378,7 @@ def main():
     # possibly the round's only live-chip session) ---------------------
     if (args.auto_levers and args.stage == "full"
             and not args.int8_fc6 and not args.int8_trunk
-            and args.max_det == 16
+            and not args.int8_trunk_scope and args.max_det == 16
             and not args.pallas_conv1 and not args.pallas_bottleneck):
         int8_ok, int8_why = _gate_int8()
         det8_ok, det8_why = _gate_det8(args)
@@ -371,11 +388,19 @@ def main():
         lever_md = 8 if det8_ok else 16
         if (int8_ok or det8_ok or int8t_ok) and levers_timeboxed("levered"):
             try:
+                det_params2 = det_params
                 if int8t_ok:
                     # env is read at trace time (prog2's first call); if
                     # the levered arm loses or fails it is popped below so
                     # a later b32 retrace of the base program stays fp
                     os.environ["I2VSGG_INT8_TRUNK"] = int8t_env
+                    # pre-quantize the in-scope kernels so the weight-quant
+                    # chain runs once here instead of every step (integer
+                    # taps bit-identical — the committed gates carry over)
+                    from i2vsgg_tpu.utils.params import \
+                        quantize_trunk_params
+                    det_params2 = quantize_trunk_params(
+                        det_params, int8t_env.partition(":")[2])
                 sgg2 = SGGModel(trunk=ResNetTrunk(depth=101, dtype=dtype),
                                 vrd=VRDHead(dtype=dtype, pooling="align",
                                             int8_fc=int8_ok),

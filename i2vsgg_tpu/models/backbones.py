@@ -125,6 +125,33 @@ class BNConv(nn.Module):
                        (k, k, self.in_features, self.features))
         if x is None:
             return w
+        if w.dtype == jnp.int8:
+            # pre-quantized serving tree (utils.params.quantize_trunk_
+            # params): the per-step weight-quant chain is hoisted to load
+            # time; integer taps are bit-identical to the on-the-fly path
+            # below, so the committed quality gates carry over.
+            w_s = self.param("kernel_scale", nn.initializers.ones,
+                             (self.features,))
+            f32 = jnp.float32
+            small = x.shape[1] * x.shape[2] <= 64
+            if small and k == 1 and self.stride == 1:
+                # safety guard — the transform skips small-grid 1x1s; if
+                # one slips through, dequantize rather than miscompute
+                r, h, wd, c = x.shape
+                wd_ = (w.astype(f32).reshape(c, self.features)
+                       * w_s).astype(self.dtype)
+                return (x.reshape(r * h * wd, c) @ wd_).reshape(
+                    r, h, wd, self.features)
+            xf = x.astype(f32)
+            a_s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+            x_q = jnp.round(xf / a_s)
+            y = jax.lax.conv_general_dilated(
+                x_q.astype(jnp.int8), w,
+                window_strides=(self.stride, self.stride),
+                padding=[(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return (y.astype(f32) * (a_s * w_s)).astype(self.dtype)
         small = x.shape[1] * x.shape[2] <= 64     # per-roi head grids
         if small and k == 1 and self.stride == 1:
             r, h, wd, c = x.shape

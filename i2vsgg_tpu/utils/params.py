@@ -25,6 +25,64 @@ def _keep_fp32(path) -> bool:
     return False
 
 
+def quantize_trunk_params(params, scope: str = "layer3,layer4"):
+    """Pre-quantize in-scope trunk conv kernels to int8 serving storage.
+
+    The BNConv int8 path (models/backbones.py) derives per-out-channel
+    int8 weights from the stored kernel ON EVERY STEP — a read of the full
+    bf16 kernel, a per-channel abs-max reduce, and a round/divide, all in
+    the jitted serving program. Those weights never change between steps,
+    so the derivation is hoisted here: each selected ``kernel`` leaf is
+    replaced by its int8 quantized tensor plus a sibling ``kernel_scale``
+    (fp32, per out-channel). BNConv detects the int8 dtype and skips the
+    per-step weight-quant chain — the integer taps are BIT-IDENTICAL to
+    the on-the-fly path (same abs-max/round pipeline, pinned in
+    tests/test_int8_trunk.py), so the committed quality gates
+    (runs/quant_trunk_ab/*.json) carry over unchanged.
+
+    Selection mirrors the runtime env-scope rule (``I2VSGG_INT8_TRUNK=
+    1:<tok>,<tok>``): a 4-D ``kernel`` leaf under a bottleneck ``block*``
+    module whose path contains a scope token. 1x1 kernels under layer4
+    are skipped — they run on per-roi 4x4 grids where BNConv's small-grid
+    matmul path stays bf16.
+
+    Apply AFTER ``bf16_storage_cast`` (the runtime path also quantizes
+    from the bf16-rounded weights).
+    """
+    tokens = [t for t in scope.split(",") if t] if scope else []
+
+    def maybe_quantize(names, x):
+        """names = module path of the conv; returns the replacement dict
+        for the {'kernel': x} entry."""
+        in_scope = (any(n.startswith("block") for n in names)
+                    and ((not tokens) or any(t in n for t in tokens
+                                             for n in names))
+                    and not (x.shape[0] == 1 and "layer4" in names))
+        if not in_scope:
+            return {"kernel": x}
+        wf = x.astype(jnp.float32)
+        f = x.shape[-1]
+        w_s = jnp.maximum(jnp.max(jnp.abs(wf.reshape(-1, f)), axis=0),
+                          1e-8) / 127.0
+        w_q = jnp.round(wf / w_s).astype(jnp.int8)
+        return {"kernel": w_q, "kernel_scale": w_s}
+
+    def walk(names, tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(names + (k,), v)
+            elif k == "kernel" and getattr(v, "ndim", 0) == 4:
+                out.update(maybe_quantize(names, v))
+            else:
+                out[k] = v
+        return out
+
+    return walk((), params)
+
+
 def bf16_storage_cast(params):
     """Cast fp32 params to bf16 for serving, except precision-sensitive
     paths (FrozenBatchNorm statistics, bbox regression head).

@@ -163,3 +163,51 @@ def test_layer_scoped_mode_quantizes_only_matching_paths():
     y_sim, tap_sim = run("sim")                # unscoped = every BNConv
     np.testing.assert_array_equal(np.asarray(y_all), np.asarray(y_sim))
     np.testing.assert_array_equal(np.asarray(tap_all), np.asarray(tap_sim))
+
+
+def test_prequantized_tree_matches_env_path_bitwise():
+    """quantize_trunk_params hoists the per-step weight-quant chain to
+    load time; the transformed tree must produce BIT-IDENTICAL outputs to
+    the on-the-fly env path (same integer taps, same rescale), so the
+    committed quality gates (runs/quant_trunk_ab/*.json) carry over."""
+    from i2vsgg_tpu.utils.params import quantize_trunk_params
+    rng = np.random.RandomState(5)
+    # input large enough that layer3's fmap exceeds BNConv's small-grid
+    # threshold (h*w > 64) — in production (38x60) the env path quantizes
+    # layer3's 1x1 convs too, and the transform must match THAT behavior
+    x = jnp.asarray(rng.randn(1, 144, 192, 3).astype(np.float32) * 20)
+    trunk = ResNetTrunk(depth=10, dtype=jnp.float32)
+    params = trunk.init(jax.random.PRNGKey(0), x)
+
+    os.environ["I2VSGG_INT8_TRUNK"] = "1:layer3"
+    try:
+        y_env, tap_env = trunk.apply(params, x)
+    finally:
+        os.environ.pop("I2VSGG_INT8_TRUNK", None)
+
+    q = {"params": quantize_trunk_params(params["params"], "layer3")}
+    # scoped kernels became int8 + scale; out-of-scope stayed put
+    l3k = q["params"]["layer3"]["block0"]["conv2"]
+    assert l3k["kernel"].dtype == jnp.int8
+    assert l3k["kernel_scale"].shape == (256,)
+    assert q["params"]["layer2"]["block0"]["conv2"]["kernel"].dtype \
+        == jnp.float32
+    y_q, tap_q = trunk.apply(q, x)          # env var NOT set
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_env))
+    np.testing.assert_array_equal(np.asarray(tap_q), np.asarray(tap_env))
+
+
+def test_prequantized_layer4_small_grid_1x1s_stay_bf16():
+    """The transform must skip 1x1 kernels under layer4 (they run on the
+    per-roi small-grid matmul path, which stays bf16 by design) while
+    quantizing layer4's 3x3 convs."""
+    from i2vsgg_tpu.utils.params import quantize_trunk_params
+    from i2vsgg_tpu.models.backbones import ResNetHead
+    head = ResNetHead(depth=50, dtype=jnp.float32)
+    x = jnp.zeros((2, 4, 4, 1024), jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), x, first_stride=1)
+    q = quantize_trunk_params(params["params"], "layer3,layer4")
+    b0 = q["layer4"]["block0"]
+    assert b0["conv1"]["kernel"].dtype == jnp.float32      # 1x1 skipped
+    assert "kernel_scale" not in b0["conv1"]
+    assert b0["conv2"]["kernel"].dtype == jnp.int8          # 3x3 quantized

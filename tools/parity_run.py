@@ -585,6 +585,16 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
     det_ckpt = save_converted(sd, imdb_s, out_dir, "shared", 0)
 
     session = str(951 + seed)
+    ckpt_dir = os.path.join(out_dir, f"res{HP['depth']}", "MVRD_SGG",
+                            f"session_{session}")
+    if (latest_step(ckpt_dir) or 0) >= steps:
+        # already trained to the target step (e.g. an earlier --stage bc
+        # lane died between its B eval and C eval) — reuse the checkpoint
+        # instead of retraining ~45 min. Training is deterministic per
+        # seed, so the score_fn below is identical either way.
+        print(f"train_ours_sgg: reusing {ckpt_dir} @ "
+              f"{latest_step(ckpt_dir)}", flush=True)
+        return _ours_sgg_score_fn(ckpt_dir)
     spe = _sgg_spe()      # effective (pair-bearing) updates per epoch
     epochs = max(1, -(-steps // max(spe, 1)))
     sgg_main([
@@ -605,10 +615,19 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
         "--cfg"] + CFG_OVERRIDES + ["RNG_SEED", str(_run_seed(seed)),
                                     "TRAIN.MAX_NUM_GT_BOXES", "4"])
 
-    ckpt_dir = os.path.join(out_dir, f"res{HP['depth']}", "MVRD_SGG",
-                            f"session_{session}")
+    return _ours_sgg_score_fn(ckpt_dir)
+
+
+def _ours_sgg_score_fn(ckpt_dir):
+    """Build the per-frame predicate-scoring closure from a trained
+    ours-arm SGG checkpoint directory (tail of train_ours_sgg)."""
+    import jax
+    import jax.numpy as jnp
+    from i2vsgg_tpu.models.backbones import ResNetTrunk
+    from i2vsgg_tpu.models.sgg import SGGModel, VRDHead
+    from i2vsgg_tpu.train.checkpoint import latest_step, restore_intersection
+
     step = latest_step(ckpt_dir)
-    cfg = _our_cfg()
     model = SGGModel(trunk=ResNetTrunk(depth=HP["depth"],
                                        dtype=jnp.float32),
                      vrd=VRDHead(), n_rel=N_REL)

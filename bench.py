@@ -72,6 +72,11 @@ def main():
                          "profiling (--stage backbone/det) run the exact "
                          "levered trunk config. Ignored if --int8-trunk "
                          "(full scope) is set")
+    ap.add_argument("--int8-static-acts", default="",
+                    help="with --int8-trunk[-scope]: use STATIC activation "
+                         "scales ('1' = unit scales for timing, or a "
+                         "calibration JSON path) instead of the per-conv "
+                         "dynamic abs-max pass")
     ap.add_argument("--pallas-conv1", action="store_true",
                     help="route the trunk's conv1 through the Pallas "
                          "parity-plane matmul kernel (serving path)")
@@ -80,7 +85,7 @@ def main():
                     help="run identity-bottleneck chains (layer3) through "
                          "the VMEM-resident fused Pallas kernel")
     ap.add_argument("--stage", default="full",
-                    choices=("full", "backbone", "det", "det_decode",
+                    choices=("full", "backbone", "rpn", "det", "det_decode",
                              "train"),
                     help="bisect: backbone/det/+decode/full inference, or "
                          "the full adversarial-DA train step")
@@ -219,7 +224,18 @@ def main():
         from i2vsgg_tpu.utils.params import quantize_trunk_params
         scope = ("" if args.int8_trunk
                  else args.int8_trunk_scope.partition(":")[2])
-        det_params = quantize_trunk_params(det_params, scope)
+        acts = None
+        if args.int8_static_acts:
+            # static activation scales: "1" = unit scales (timing-only —
+            # same program shape/fusion as calibrated scales), else a
+            # calibration JSON from tools/calibrate_act_scales.py
+            if args.int8_static_acts == "1":
+                acts = 1.0
+            else:
+                with open(args.int8_static_acts) as f:
+                    acts = json.load(f)
+                acts = acts.get("scales", acts)
+        det_params = quantize_trunk_params(det_params, scope, acts)
     det_params = jax.device_put(det_params, dev)
     sgg_params = jax.device_put(sgg_params, dev)
     log(f"init: {time.time() - t0:.1f}s")
@@ -291,6 +307,18 @@ def main():
                 # reduce on device: the 37MB fmap fetch would dominate the
                 # timed region through the tunnel
                 return jnp.sum(feat.astype(jnp.float32))
+            if args.stage == "rpn":
+                # trunk + RPN head + proposal generation (incl. proposal
+                # NMS) — (det - rpn) isolates align + layer4 + cls/bbox
+                def _rpn(m, images, im_info):
+                    base_feat, _ = m.trunk(images)
+                    rpn_cls, rpn_bbox = m.rpn(base_feat)
+                    return m._proposals(base_feat, rpn_cls, rpn_bbox,
+                                        im_info, training=False,
+                                        target=False)
+                props = det.apply({"params": p}, images, im_info,
+                                  method=_rpn)
+                return props.rois, props.valid
             out = det.apply({"params": p}, images, im_info, mode="inference")
             if args.stage == "det":
                 return out["cls_prob"], out["bbox_pred"], out["rois"]

@@ -125,6 +125,14 @@ def parse_args(argv=None):
                         "matmuls (DenseInt8 — checkpoint-compatible param "
                         "tree). ~2x matmul rate on the head's compute-bound "
                         "hot spot; quality-gate with tools/quant_ab.py")
+    p.add_argument("--act_scales", default="",
+                   help="eval: calibration JSON from tools/"
+                        "calibrate_act_scales.py — with --int8_trunk "
+                        "<kind>:<scope>, pre-quantize the in-scope trunk "
+                        "kernels AND use STATIC per-tensor activation "
+                        "scales instead of the per-conv dynamic abs-max "
+                        "pass (the dynamic reduction is an unfusable "
+                        "extra HBM pass per conv, PERF.md round 4)")
     p.add_argument("--int8_trunk", nargs="?", const="mxu", default="off",
                    help="eval/serve: run the ResNet bottleneck convs "
                         "int8-quantized (per-out-channel weights + "

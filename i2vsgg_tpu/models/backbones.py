@@ -21,6 +21,8 @@ heavy lifting.
 
 from __future__ import annotations
 
+import os as _os
+
 from typing import Sequence
 
 import jax
@@ -125,6 +127,15 @@ class BNConv(nn.Module):
                        (k, k, self.in_features, self.features))
         if x is None:
             return w
+        if _os.environ.get("I2VSGG_INT8_CALIB"):
+            # static-scale calibration capture (tools/calibrate_act_
+            # scales.py): record this conv's input abs-max; the tool runs
+            # the fp model with mutable=["intermediates"] over calibration
+            # batches and maxes over batches per module path
+            self.sow("intermediates", "act_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.asarray(0.0, jnp.float32))
         if w.dtype == jnp.int8:
             # pre-quantized serving tree (utils.params.quantize_trunk_
             # params): the per-step weight-quant chain is hoisted to load
@@ -142,9 +153,36 @@ class BNConv(nn.Module):
                        * w_s).astype(self.dtype)
                 return (x.reshape(r * h * wd, c) @ wd_).reshape(
                     r, h, wd, self.features)
-            xf = x.astype(f32)
-            a_s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
-            x_q = jnp.round(xf / a_s)
+            if self.has_variable("params", "act_scale"):
+                # STATIC activation scale (calibrated offline,
+                # utils.params.quantize_trunk_params act_scales=...):
+                # the dynamic per-tensor abs-max is a full extra HBM
+                # pass over the fmap per conv that cannot fuse with its
+                # consumer (the reduction must finish before the
+                # divide); measured ~1.3 ms standalone at 1024-ch b16
+                # fmaps (tools/int8_conv_micro.py) — it is why the
+                # dynamic int8[l3,l4] scope returned only 1.1 ms of the
+                # expected 5-6. A static scale makes the quantize pure
+                # elementwise (fusable); outliers beyond the calibrated
+                # range saturate at +-127 (symmetric clamp).
+                a_s = self.param("act_scale", nn.initializers.ones, ())
+                x_q = jnp.clip(jnp.round(x.astype(f32) / a_s),
+                               -127.0, 127.0)
+            else:
+                xf = x.astype(f32)
+                a_s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+                x_q = jnp.round(xf / a_s)
+            if _os.environ.get("I2VSGG_INT8_PREQ_SIM"):
+                # fake-quant twin of the int8 conv below (same integer
+                # taps, fp32 conv) — XLA:CPU runs int8 convs ~45x slower
+                # than fp, so quality gates eval THIS path; equivalence
+                # is test-pinned (tests/test_int8_trunk.py)
+                y = jax.lax.conv_general_dilated(
+                    x_q, w.astype(f32),
+                    window_strides=(self.stride, self.stride),
+                    padding=[(k // 2, k // 2)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return (y * (a_s * w_s)).astype(self.dtype)
             y = jax.lax.conv_general_dilated(
                 x_q.astype(jnp.int8), w,
                 window_strides=(self.stride, self.stride),
@@ -158,7 +196,6 @@ class BNConv(nn.Module):
             out = (x.reshape(r * h * wd, c)
                    @ w.reshape(c, self.features).astype(self.dtype))
             return out.reshape(r, h, wd, self.features)
-        import os as _os
         mode = _os.environ.get("I2VSGG_INT8_TRUNK") or ""
         # optional layer scoping: "<kind>:tok1,tok2" quantizes only convs
         # whose module path contains a token (e.g. "sim:layer1,layer2" =
@@ -167,8 +204,17 @@ class BNConv(nn.Module):
         # are the re-gate candidates; tools/quant_trunk_ab.py --mode).
         mode, _, only = mode.partition(":")
         if only:
+            toks = [t for t in only.split(",") if t]
+            # "@3x3" filter token: quantize only the 3x3 convs — the
+            # live-chip microbench (tools/int8_conv_micro.py, PERF.md r4)
+            # measured XLA's int8 1x1 convs SLOWER than bf16 at fmap
+            # scale (2.12 vs 1.07 ms) while 3x3s run 1.7x faster, so the
+            # profitable scope is kernel-size- as well as layer-scoped.
+            if "@3x3" in toks and k != 3:
+                mode = ""
+            ptoks = [t for t in toks if not t.startswith("@")]
             path = "/".join(self.scope.path)
-            if not any(tok and tok in path for tok in only.split(",")):
+            if ptoks and not any(t in path for t in ptoks):
                 mode = ""
         if mode in ("1", "sim"):
             # int8 MXU conv (serving-only, forward-only; v5e runs int8 at

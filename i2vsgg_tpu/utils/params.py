@@ -25,7 +25,8 @@ def _keep_fp32(path) -> bool:
     return False
 
 
-def quantize_trunk_params(params, scope: str = "layer3,layer4"):
+def quantize_trunk_params(params, scope: str = "layer3,layer4",
+                          act_scales=None):
     """Pre-quantize in-scope trunk conv kernels to int8 serving storage.
 
     The BNConv int8 path (models/backbones.py) derives per-out-channel
@@ -48,16 +49,31 @@ def quantize_trunk_params(params, scope: str = "layer3,layer4"):
 
     Apply AFTER ``bf16_storage_cast`` (the runtime path also quantizes
     from the bf16-rounded weights).
+
+    ``act_scales``: optional STATIC activation scales — either a dict
+    mapping a conv's module path ("layer3/block0/conv2") to its
+    calibrated per-tensor input scale (abs-max / 127, from
+    tools/calibrate_act_scales.py), or a scalar applied to every
+    in-scope conv (bench timing only). When given, each quantized conv
+    also gets an ``act_scale`` param; BNConv then quantizes its input
+    with the static scale (pure elementwise, fusable) instead of the
+    dynamic abs-max reduction (an extra unfusable HBM pass per conv —
+    measured to eat most of the int8 rate win, PERF.md round 4).
     """
     tokens = [t for t in scope.split(",") if t] if scope else []
+    # "@3x3" filter token: restrict to 3x3 kernels (int8 1x1 convs
+    # measured SLOWER than bf16 on-chip — tools/int8_conv_micro.py)
+    k3_only = "@3x3" in tokens
+    ptoks = [t for t in tokens if not t.startswith("@")]
 
     def maybe_quantize(names, x):
         """names = module path of the conv; returns the replacement dict
         for the {'kernel': x} entry."""
         in_scope = (any(n.startswith("block") for n in names)
-                    and ((not tokens) or any(t in n for t in tokens
-                                             for n in names))
-                    and not (x.shape[0] == 1 and "layer4" in names))
+                    and ((not ptoks) or any(t in n for t in ptoks
+                                            for n in names))
+                    and not (x.shape[0] == 1 and "layer4" in names)
+                    and not (k3_only and x.shape[0] != 3))
         if not in_scope:
             return {"kernel": x}
         wf = x.astype(jnp.float32)
@@ -65,7 +81,16 @@ def quantize_trunk_params(params, scope: str = "layer3,layer4"):
         w_s = jnp.maximum(jnp.max(jnp.abs(wf.reshape(-1, f)), axis=0),
                           1e-8) / 127.0
         w_q = jnp.round(wf / w_s).astype(jnp.int8)
-        return {"kernel": w_q, "kernel_scale": w_s}
+        out = {"kernel": w_q, "kernel_scale": w_s}
+        if act_scales is not None:
+            path = "/".join(names)
+            a = (act_scales if not isinstance(act_scales, dict)
+                 else act_scales.get(path))
+            if a is None:
+                raise KeyError(f"act_scales missing calibration for "
+                               f"in-scope conv {path!r}")
+            out["act_scale"] = jnp.asarray(a, jnp.float32)
+        return out
 
     def walk(names, tree):
         if not isinstance(tree, dict):

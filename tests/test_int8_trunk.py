@@ -211,3 +211,44 @@ def test_prequantized_layer4_small_grid_1x1s_stay_bf16():
     assert b0["conv1"]["kernel"].dtype == jnp.float32      # 1x1 skipped
     assert "kernel_scale" not in b0["conv1"]
     assert b0["conv2"]["kernel"].dtype == jnp.int8          # 3x3 quantized
+
+
+def test_k3_filter_token_selects_only_3x3_convs():
+    """'@3x3' scope token restricts quantization to 3x3 kernels (the
+    live-chip microbench — tools/int8_conv_micro.py — measured XLA's
+    int8 1x1 convs SLOWER than bf16 at fmap scale, so the profitable
+    scope is kernel-size-filtered). Env path and pre-quantized tree must
+    agree bitwise and must leave every 1x1 kernel fp."""
+    from i2vsgg_tpu.utils.params import quantize_trunk_params
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 144, 192, 3).astype(np.float32) * 20)
+    trunk = ResNetTrunk(depth=10, dtype=jnp.float32)
+    params = trunk.init(jax.random.PRNGKey(0), x)
+
+    q = {"params": quantize_trunk_params(params["params"],
+                                         "layer3,@3x3")}
+    b0 = q["params"]["layer3"]["block0"]
+    assert b0["conv2"]["kernel"].dtype == jnp.int8          # 3x3 in scope
+    assert b0["conv1"]["kernel"].dtype == jnp.float32       # 1x1 skipped
+    assert b0["conv3"]["kernel"].dtype == jnp.float32
+    assert "kernel_scale" not in b0["conv1"]
+
+    os.environ["I2VSGG_INT8_TRUNK"] = "1:layer3,@3x3"
+    try:
+        y_env, tap_env = trunk.apply(params, x)
+    finally:
+        os.environ.pop("I2VSGG_INT8_TRUNK", None)
+    y_q, tap_q = trunk.apply(q, x)          # env var NOT set
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_env))
+    np.testing.assert_array_equal(np.asarray(tap_q), np.asarray(tap_env))
+
+    # the k3-scoped program really differs from fp AND from the full
+    # layer3 scope (it selects a strict subset of layer3's convs)
+    y_fp, _ = trunk.apply(params, x)
+    assert float(jnp.linalg.norm(y_env - y_fp)) > 0
+    os.environ["I2VSGG_INT8_TRUNK"] = "1:layer3"
+    try:
+        y_l3, _ = trunk.apply(params, x)
+    finally:
+        os.environ.pop("I2VSGG_INT8_TRUNK", None)
+    assert float(jnp.linalg.norm(y_env - y_l3)) > 0

@@ -57,6 +57,10 @@ def main(argv=None):
                          "fake-quant (FAILED the round-4 gate at -0.018 "
                          "target mAP); scope it for the partial-depth "
                          "re-gates, e.g. 'sim:layer1,layer2'")
+    ap.add_argument("--act_scales", default="",
+                    help="calibration JSON (tools/calibrate_act_scales.py) "
+                         "— gate the STATIC-activation-scale variant of "
+                         "the int8 arm instead of dynamic abs-max")
     ap.add_argument("--reuse_fp", default="",
                     help="path to an existing quant_trunk_ab.json whose fp "
                          "arm used the SAME ckpt/datasets/capacity — copies "
@@ -99,7 +103,10 @@ def main(argv=None):
             # run ~45x slower than bf16 on XLA:CPU; sim==mxu up to
             # accumulator rounding (pinned by tests/test_int8_trunk.py)
             aps = eval_main(
-                (["--int8_trunk", args.mode] if arm == "int8" else []) + [
+                (["--int8_trunk", args.mode]
+                 + (["--act_scales", args.act_scales]
+                    if args.act_scales else [])
+                 if arm == "int8" else []) + [
                 "--dataset", ds, "--net", args.net, "--bs", "1",
                 "--ic", "--gc", "--save_dir", args.out,
                 "--load_name", ckpt,

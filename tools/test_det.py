@@ -135,6 +135,29 @@ def main(argv=None):
         if meta.get("pooling_mode"):
             cfg = cfg.replace(POOLING_MODE=meta["pooling_mode"])
         print(f"loaded {args.load_name}")
+    if getattr(args, "act_scales", ""):
+        # static-activation-scale int8 trunk: pre-quantize the in-scope
+        # kernels and attach calibrated act_scale params — BNConv then
+        # quantizes inputs elementwise (fusable) instead of the dynamic
+        # abs-max pass. 'sim' kind evals the fake-quant twin (CPU gates;
+        # equivalence to the int8 path pinned in tests/test_int8_trunk.py)
+        import json as _json
+        from i2vsgg_tpu.utils.params import quantize_trunk_params
+        kind, _, scope = (args.int8_trunk or "off").partition(":")
+        assert kind in ("sim", "mxu"), \
+            "--act_scales requires --int8_trunk sim:<scope> or mxu:<scope>"
+        with open(args.act_scales) as f:
+            sc = _json.load(f)
+        params = quantize_trunk_params(params, scope,
+                                       sc.get("scales", sc))
+        if kind == "sim":
+            os.environ["I2VSGG_INT8_PREQ_SIM"] = "1"
+        # in-scope kernels are int8 now (prequant branch wins); pop the
+        # env gate so out-of-scope convs can't double-quantize
+        os.environ.pop("I2VSGG_INT8_TRUNK", None)
+        print(f"static act scales: {args.act_scales} (scope {scope!r})")
+    else:
+        os.environ.pop("I2VSGG_INT8_PREQ_SIM", None)
     # restored params are HOST numpy — commit once, or every jitted batch
     # re-uploads the full ~100MB param tree (measured 6.7 s/batch)
     params = jax.device_put(params)

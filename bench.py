@@ -410,11 +410,13 @@ def main():
             and not args.pallas_conv1 and not args.pallas_bottleneck):
         int8_ok, int8_why = _gate_int8()
         det8_ok, det8_why = _gate_det8(args)
-        int8t_ok, int8t_why, int8t_env = _gate_int8trunk()
+        int8t_ok, int8t_why, int8t_env, int8t_acts = _gate_int8trunk()
+        rpn64_ok, rpn64_why = _gate_rpn64(args)
         log(f"auto-levers: int8 gate {int8_why}; det8 gate {det8_why}; "
-            f"int8trunk gate {int8t_why}")
-        lever_md = 8 if det8_ok else 16
-        if (int8_ok or det8_ok or int8t_ok) and levers_timeboxed("levered"):
+            f"int8trunk gate {int8t_why}; rpn64 gate {rpn64_why}")
+        lever_md = 8 if (det8_ok or rpn64_ok) else 16
+        if ((int8_ok or det8_ok or int8t_ok or rpn64_ok)
+                and levers_timeboxed("levered")):
             try:
                 det_params2 = det_params
                 if int8t_ok:
@@ -427,23 +429,47 @@ def main():
                     # taps bit-identical — the committed gates carry over)
                     from i2vsgg_tpu.utils.params import \
                         quantize_trunk_params
+                    acts2 = None
+                    if int8t_acts:
+                        # the passing artifact was gated WITH static
+                        # activation scales — serve the same numerics
+                        with open(int8t_acts) as f:
+                            acts2 = json.load(f)
+                        acts2 = acts2.get("scales", acts2)
                     det_params2 = quantize_trunk_params(
-                        det_params, int8t_env.partition(":")[2])
+                        det_params, int8t_env.partition(":")[2], acts2)
+                det2, cfg_l = det, cfg
+                rpn_l, pre_l = args.rpn_topn, args.pre_nms
+                if rpn64_ok:
+                    # serving capacity rpn64/pre512: halves the align +
+                    # layer4 + head line (the converged-ckpt A/B row
+                    # pre512_rpn64_det8 carries the quality evidence)
+                    from i2vsgg_tpu.config import cfg_from_list
+                    rpn_l, pre_l = 64, 512
+                    cfg_l = cfg_from_list(
+                        ["TEST.RPN_POST_NMS_TOP_N", "64",
+                         "TEST.RPN_PRE_NMS_TOP_N", "512"], cfg)
+                    det2 = FasterRCNN_DA(num_classes=args.num_classes,
+                                         cfg=cfg_l, backbone="res101",
+                                         ic=True, gc=True)
                 sgg2 = SGGModel(trunk=ResNetTrunk(depth=101, dtype=dtype),
                                 vrd=VRDHead(dtype=dtype, pooling="align",
                                             int8_fc=int8_ok),
                                 n_rel=args.num_relations)
                 # DenseInt8 is param-tree-compatible with nn.Dense and
-                # max_det only changes program shapes — reuse the params
-                prog2 = make_frame_program(det, det_params, sgg2,
-                                           sgg_params, prd_vecs, cfg,
+                # max_det/proposal caps only change program shapes —
+                # reuse the params
+                prog2 = make_frame_program(det2, det_params2, sgg2,
+                                           sgg_params, prd_vecs, cfg_l,
                                            max_det=lever_md,
                                            max_per_class=8)
                 fps2 = time_program(prog2)
-                cfg2 = (f"b{b} rpn{args.rpn_topn}/pre{args.pre_nms} "
+                cfg2 = (f"b{b} rpn{rpn_l}/pre{pre_l} "
                         f"det{lever_md}"
                         + (" int8fc" if int8_ok else "")
                         + (f" int8trunk[{int8t_env}]" if int8t_ok else "")
+                        + (" static-acts" if (int8t_ok and int8t_acts)
+                           else "")
                         + (" bf16w" if args.bf16_params else ""))
                 log(f"auto-levers: base {fps:.1f} fps vs levered "
                     f"[{cfg2}] {fps2:.1f} fps")
@@ -509,8 +535,8 @@ def _gate_int8trunk(path="runs/quant_trunk_ab", tol=0.01):
              else sorted(glob.glob(os.path.join(path, "*.json"))))
     files = [p for p in files if os.path.exists(p)]
     if not files:
-        return False, f"NOT RUN ({path} missing/empty)", None
-    best = None  # (scope width, env_mode)
+        return False, f"NOT RUN ({path} missing/empty)", None, None
+    best = None  # (rank, env_mode, acts_path)
     msgs = []
     for p in files:
         name = os.path.basename(p)
@@ -524,21 +550,60 @@ def _gate_int8trunk(path="runs/quant_trunk_ab", tol=0.01):
                 continue
             ok = all(v >= -tol for v in delta.values())
             scope = d.get("mode", "sim").partition(":")[2]
-            msgs.append(f"{name}[{d.get('mode', 'sim')}] "
+            msgs.append(f"{name}[{d.get('mode', 'sim')}"
+                        + ("+static" if d.get("act_scales") else "") + "] "
                         f"{'PASS' if ok else 'FAIL'} ("
                         + ", ".join(f"d mAP[{k}] {v:+.4f}"
                                     for k, v in delta.items()) + ")")
             if ok:
-                # wider scope = more convs quantized = more speedup;
-                # unscoped (full trunk) beats any layer list
-                width = 99 if not scope else len(scope.split(","))
+                toks = [t for t in scope.split(",") if t]
+                layers = (99 if not scope
+                          else len([t for t in toks
+                                    if not t.startswith("@")]))
+                # ranking is MEASURED, not assumed (PERF.md round 4):
+                # '@3x3' scopes beat their full-layer parents on the live
+                # chip (int8 1x1 convs are slower than bf16), so k3
+                # variants outrank; among equals prefer more layers, and
+                # static act scales over dynamic (+0.08 ms, and the
+                # precalibrated form is deployment-correct)
+                acts = d.get("act_scales") or None
+                if acts and not os.path.exists(acts):
+                    acts = None
+                rank = ("@3x3" in toks, layers, acts is not None)
                 env = "1" + (f":{scope}" if scope else "")
-                if best is None or width > best[0]:
-                    best = (width, env)
+                if best is None or rank > best[0]:
+                    best = (rank, env, acts)
         except Exception as e:  # noqa: BLE001
             msgs.append(f"{name} unreadable ({e!r})")
     why = "; ".join(msgs)
-    return (True, why, best[1]) if best else (False, why, None)
+    return ((True, why, best[1], best[2]) if best
+            else (False, why, None, None))
+
+
+def _gate_rpn64(args, path="runs/capacity_ab_r64/capacity_ab.json",
+                tol=0.01):
+    """Serving capacity rpn64/pre512 passes when the converged-checkpoint
+    capacity A/B has a pre512_rpn64_det8 row within `tol` mAP of the
+    pre1024_rpn128_det16 reference row (the quality bar is the FULL
+    default capacity, not a softer det8 baseline). Live-chip value:
+    ~-4.3 ms/step at b16 (PERF.md round 4 — align + layer4 + heads run
+    on half the rois, proposal NMS on half the candidates)."""
+    import os
+    if not os.path.exists(path):
+        return False, f"NOT RUN ({path} missing)"
+    try:
+        with open(path) as f:
+            r = json.load(f)["results"]
+        k64 = "pre512_rpn64_det8"
+        kbase = f"pre{args.pre_nms}_rpn{args.rpn_topn}_det16"
+        if k64 not in r or kbase not in r:
+            return False, f"rows missing ({k64} vs {kbase})"
+        ok = r[k64]["mAP"] >= r[kbase]["mAP"] - tol
+        return ok, (f"{'PASS' if ok else 'FAIL'} "
+                    f"(mAP rpn64/pre512/det8 {r[k64]['mAP']:.4f} vs "
+                    f"default {r[kbase]['mAP']:.4f})")
+    except Exception as e:  # noqa: BLE001
+        return False, f"unreadable ({e!r})"
 
 
 def _gate_det8(args, path="runs/capacity_ab_r4/capacity_ab.json", tol=0.01):

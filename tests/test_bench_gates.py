@@ -86,25 +86,25 @@ def test_det8_gate_missing_rows_or_file(bench, tmp_path):
 def test_int8trunk_gate_passes_within_tol(bench, tmp_path):
     p = tmp_path / "quant_trunk_ab.json"
     p.write_text(json.dumps({"delta": {"MVRD": -0.004, "MVidVRD": 0.002}}))
-    ok, why, env = bench._gate_int8trunk(str(p))
+    ok, why, env, acts = bench._gate_int8trunk(str(p))
     assert ok and "PASS" in why and env == "1"
 
 
 def test_int8trunk_gate_fails_on_any_dataset_regression(bench, tmp_path):
     p = tmp_path / "quant_trunk_ab.json"
     p.write_text(json.dumps({"delta": {"MVRD": 0.001, "MVidVRD": -0.03}}))
-    ok, why, env = bench._gate_int8trunk(str(p))
+    ok, why, env, acts = bench._gate_int8trunk(str(p))
     assert not ok and "FAIL" in why and env is None
 
 
 def test_int8trunk_gate_missing_or_partial_is_not_a_pass(bench, tmp_path):
-    ok, why, env = bench._gate_int8trunk(str(tmp_path / "nope.json"))
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path / "nope.json"))
     assert not ok and "NOT RUN" in why and env is None
     p = tmp_path / "quant_trunk_ab.json"
     # quant_trunk_ab.py writes the artifact incrementally; no "delta" key
     # means the int8 arm hasn't finished — must not gate a lever on it
     p.write_text(json.dumps({"ckpt": "x", "fp": {"MVRD": {"mAP": 0.3}}}))
-    ok, why, env = bench._gate_int8trunk(str(p))
+    ok, why, env, acts = bench._gate_int8trunk(str(p))
     assert not ok and "incomplete" in why and env is None
 
 
@@ -118,22 +118,69 @@ def test_int8trunk_gate_scans_dir_and_picks_widest_passing_scope(
         {"mode": "sim", "delta": {"MVRD": -0.007, "MVidVRD": -0.018}}))
     (tmp_path / "quant_trunk_l3.json").write_text(json.dumps(
         {"mode": "sim:layer3", "delta": {"MVRD": -0.002, "MVidVRD": -0.004}}))
-    ok, why, env = bench._gate_int8trunk(str(tmp_path))
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path))
     assert ok and env == "1:layer3"
     assert "FAIL" in why and "PASS" in why  # both variants reported
     # a passing wider scope must win over the narrower one
     (tmp_path / "quant_trunk_l23.json").write_text(json.dumps(
         {"mode": "sim:layer2,layer3",
          "delta": {"MVRD": -0.001, "MVidVRD": -0.002}}))
-    ok, why, env = bench._gate_int8trunk(str(tmp_path))
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path))
     assert ok and env == "1:layer2,layer3"
     # ... and a passing FULL-trunk artifact over any scoped one
     (tmp_path / "quant_trunk_ab.json").write_text(json.dumps(
         {"mode": "sim", "delta": {"MVRD": -0.001, "MVidVRD": -0.001}}))
-    ok, why, env = bench._gate_int8trunk(str(tmp_path))
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path))
     assert ok and env == "1"
 
 
 def test_int8trunk_gate_empty_dir_is_not_run(bench, tmp_path):
-    ok, why, env = bench._gate_int8trunk(str(tmp_path))
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path))
     assert not ok and "NOT RUN" in why and env is None
+
+def test_int8trunk_gate_prefers_k3_scope_and_static_acts(bench, tmp_path):
+    """Ranking is MEASURED (PERF.md round 4): '@3x3' scopes outrank their
+    full-layer parents (int8 1x1 convs are slower than bf16 on-chip), and
+    a static-act-scales artifact outranks its dynamic twin. The acts path
+    is returned only when the calibration file actually exists."""
+    (tmp_path / "l34.json").write_text(json.dumps(
+        {"mode": "sim:layer3,layer4",
+         "delta": {"MVRD": -0.001, "MVidVRD": -0.003}}))
+    (tmp_path / "l34k3.json").write_text(json.dumps(
+        {"mode": "sim:layer3,layer4,@3x3",
+         "delta": {"MVRD": -0.001, "MVidVRD": -0.002}}))
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path))
+    assert ok and env == "1:layer3,layer4,@3x3" and acts is None
+
+    # static-acts variant wins over dynamic at the same scope — but only
+    # while its calibration JSON exists
+    calib = tmp_path / "act_scales.json"
+    calib.write_text(json.dumps({"scales": {}}))
+    (tmp_path / "l34k3s.json").write_text(json.dumps(
+        {"mode": "sim:layer3,layer4,@3x3", "act_scales": str(calib),
+         "delta": {"MVRD": -0.001, "MVidVRD": -0.002}}))
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path))
+    assert ok and env == "1:layer3,layer4,@3x3" and acts == str(calib)
+    calib.unlink()
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path))
+    assert ok and acts is None
+
+
+def test_rpn64_gate_compares_against_full_default_capacity(bench, tmp_path):
+    p = tmp_path / "capacity_ab.json"
+    p.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre512_rpn64_det8": {"mAP": 0.244},
+    }}))
+    ok, why = bench._gate_rpn64(_args(), str(p))
+    assert ok and "PASS" in why
+    p.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre512_rpn64_det8": {"mAP": 0.230},
+    }}))
+    ok, why = bench._gate_rpn64(_args(), str(p))
+    assert not ok and "FAIL" in why
+    p.write_text(json.dumps({"results": {
+        "pre512_rpn64_det8": {"mAP": 0.244}}}))
+    assert not bench._gate_rpn64(_args(), str(p))[0]
+    assert not bench._gate_rpn64(_args(), str(tmp_path / "no.json"))[0]

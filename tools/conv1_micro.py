@@ -53,6 +53,20 @@ def main():
     t = timeit(lambda *a: conv1_bn_relu_pallas(*a), x, w, scale, bias)
     print(f"conv1 Pallas kernel @b16: {t:.3f} ms", flush=True)
 
+    # conv1 int8 variants: direct, and pre-planed im2col+dot (K=160)
+    xq = jnp.asarray(rng.randint(-123, 127, (B, 600, 960, 3)), jnp.int8)
+    wq = jnp.asarray(rng.randint(-127, 127, (7, 7, 3, 64)), jnp.int8)
+
+    @jax.jit
+    def direct_i8(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+
+    t = timeit(direct_i8, xq, wq)
+    print(f"conv1 XLA direct int8 @b16: {t:.3f} ms", flush=True)
+
     # layer2 3x3 (16,75,120,128) bf16 vs int8 — sizing the l2 int8 prize
     x2 = jnp.asarray(rng.randn(B, 75, 120, 128), jnp.bfloat16)
     w2 = jnp.asarray(rng.randn(3, 3, 128, 128) * 0.1, jnp.bfloat16)

@@ -81,6 +81,10 @@ def main(argv=None):
     ckpt = args.ckpt
     datasets = [args.dataset] + ([args.dataset_t] if args.dataset_t else [])
     results = {"ckpt": ckpt, "mode": args.mode}
+    if args.act_scales:
+        # recorded so bench.py's _gate_int8trunk can serve the SAME
+        # static-scale numerics the gate validated
+        results["act_scales"] = args.act_scales
     if args.reuse_fp:
         with open(args.reuse_fp) as f:
             prev = json.load(f)

@@ -120,20 +120,50 @@ def main():
     # infra failure, not a crash (VERDICT r3 item 2).
     if "axon" in os.environ.get("JAX_PLATFORMS", ""):
         import socket
-        try:
-            with socket.create_connection(("127.0.0.1", 8082), timeout=3):
-                pass
-        except OSError as e:
+
+        def _infra_diag(msg):
             print(json.dumps({
                 "metric": "det_sgg_inference_throughput",
                 "value": None,
                 "unit": "frames/s/chip",
                 "vs_baseline": None,
-                "error": "tpu tunnel unavailable "
-                         f"(127.0.0.1:8082 probe failed: {e}); "
-                         "last clean-chip in-repo measurement 248.9 fps/chip"
-                         " (PERF.md round 3)",
+                "error": f"tpu tunnel unavailable ({msg}); "
+                         "last clean-chip in-repo measurement 421.0 fps/chip"
+                         " levered (PERF.md round 4)",
             }))
+
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=3):
+                pass
+        except OSError as e:
+            _infra_diag(f"127.0.0.1:8082 probe failed: {e}")
+            return
+        # The socket probe is necessary but NOT sufficient: the local
+        # loopback relay accepts connections even when the REMOTE worker
+        # is crashed (seen round 4: an int8 kernel fault crashed the TPU
+        # worker; backend init then hangs forever in futex wait while
+        # :8082 still connects). Run a tiny end-to-end device op in a
+        # child process under a hard deadline — on a healthy tunnel this
+        # costs ~30-60 s once (and warms the compile cache); on a wedged
+        # one it converts an infinite hang into the diagnostic line.
+        import subprocess
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp\n"
+                 "jax.config.update('jax_compilation_cache_dir',"
+                 " '/tmp/jax_cache')\n"
+                 "print('PROBE_OK',"
+                 " float(jnp.sum(jnp.ones((8, 128)) @ jnp.ones((128, 8)))))"
+                 ],
+                capture_output=True, text=True, timeout=300)
+            if "PROBE_OK" not in probe.stdout:
+                _infra_diag("device probe failed: "
+                            + (probe.stderr or "")[-300:].replace("\n", " "))
+                return
+        except subprocess.TimeoutExpired:
+            _infra_diag("device probe timed out after 300s — relay port "
+                        "accepts but the remote TPU worker is not serving")
             return
 
     import jax

@@ -248,6 +248,13 @@ def main():
         from i2vsgg_tpu.utils.params import bf16_storage_cast
         det_params = bf16_storage_cast(det_params)
         sgg_params = bf16_storage_cast(sgg_params)
+    if args.int8_fc6:
+        # hoist the fc-tower weight-quant chain out of the serving
+        # program (bit-identical taps — tools/sgg_dissect.py measured the
+        # in-program chain at ~3 ms/step: fc6's 50176x4096 kernel was
+        # being f32-upcast + abs-maxed + rounded EVERY step)
+        from i2vsgg_tpu.utils.params import quantize_dense_params
+        sgg_params = quantize_dense_params(sgg_params)
     if args.int8_trunk or args.int8_trunk_scope:
         # hoist the per-step weight-quant chain out of the serving program
         # (bit-identical integer taps — tests/test_int8_trunk.py)
@@ -488,9 +495,16 @@ def main():
                                 n_rel=args.num_relations)
                 # DenseInt8 is param-tree-compatible with nn.Dense and
                 # max_det/proposal caps only change program shapes —
-                # reuse the params
+                # reuse the params (pre-quantizing the fc towers when the
+                # int8 lever is on: hoists the per-step weight-quant
+                # chain, ~3 ms/step — tools/sgg_dissect.py)
+                sgg_params2 = sgg_params
+                if int8_ok:
+                    from i2vsgg_tpu.utils.params import \
+                        quantize_dense_params
+                    sgg_params2 = quantize_dense_params(sgg_params)
                 prog2 = make_frame_program(det2, det_params2, sgg2,
-                                           sgg_params, prd_vecs, cfg_l,
+                                           sgg_params2, prd_vecs, cfg_l,
                                            max_det=lever_md,
                                            max_per_class=8)
                 fps2 = time_program(prog2)
@@ -531,6 +545,16 @@ def main():
     emit()
 
 
+# A converged parity checkpoint evaluates well above this on every metric
+# the gates read (det mAP ~0.28, Stage-B pred mAP ~0.46). A broken eval —
+# wrong --net leaving the trunk at random init (runs/capacity_ab_r64:
+# both rows 0.0000), a clobbered eval dir, a stale checkpoint — lands
+# near zero, and a "levered within tol of base" comparison between two
+# broken arms would PASS vacuously. Any arm below this floor voids the
+# gate instead.
+_GATE_FLOOR = 0.15
+
+
 def _gate_int8(path="runs/quant_ab/quant_ab.json", tol=0.01):
     """int8 fc towers pass when the Stage-B metric A/B on a trained
     checkpoint (tools/quant_ab.py) shows int8 within `tol` of fp32."""
@@ -539,7 +563,12 @@ def _gate_int8(path="runs/quant_ab/quant_ab.json", tol=0.01):
         return False, f"NOT RUN ({path} missing)"
     try:
         with open(path) as f:
-            d = json.load(f)["delta"]
+            j = json.load(f)
+        d = j["delta"]
+        base = j.get("fp32", {}).get("pred_mAP", 1.0)
+        if base < _GATE_FLOOR:
+            return False, (f"VOID (fp32 arm pred_mAP {base:.4f} below "
+                           f"sanity floor {_GATE_FLOOR} — broken eval?)")
         ok = d["pred_mAP"] >= -tol and d["top1_acc"] >= -tol
         return ok, (f"{'PASS' if ok else 'FAIL'} "
                     f"(d pred_mAP {d['pred_mAP']:+.4f}, "
@@ -577,6 +606,12 @@ def _gate_int8trunk(path="runs/quant_trunk_ab", tol=0.01):
             if not delta:
                 msgs.append(f"{name} incomplete (no delta — A/B still "
                             "running?)")
+                continue
+            fp_maps = [v.get("mAP", 1.0)
+                       for v in d.get("fp", {}).values()]
+            if any(m < _GATE_FLOOR for m in fp_maps):
+                msgs.append(f"{name} VOID (fp arm mAP below sanity "
+                            f"floor {_GATE_FLOOR})")
                 continue
             ok = all(v >= -tol for v in delta.values())
             scope = d.get("mode", "sim").partition(":")[2]
@@ -628,6 +663,14 @@ def _gate_rpn64(args, path="runs/capacity_ab_r64/capacity_ab.json",
         kbase = f"pre{args.pre_nms}_rpn{args.rpn_topn}_det16"
         if k64 not in r or kbase not in r:
             return False, f"rows missing ({k64} vs {kbase})"
+        if r[kbase]["mAP"] < _GATE_FLOOR:
+            # the base row doubles as a determinism check: a converged
+            # ckpt evaluates ~0.28; ~0 means the eval itself was broken
+            # (e.g. the r5b run built a res101 model on the res50 ckpt
+            # and restore_intersection silently left the trunk random)
+            return False, (f"VOID (base row mAP {r[kbase]['mAP']:.4f} "
+                           f"below sanity floor {_GATE_FLOOR} — "
+                           "broken eval?)")
         ok = r[k64]["mAP"] >= r[kbase]["mAP"] - tol
         return ok, (f"{'PASS' if ok else 'FAIL'} "
                     f"(mAP rpn64/pre512/det8 {r[k64]['mAP']:.4f} vs "
@@ -650,6 +693,10 @@ def _gate_det8(args, path="runs/capacity_ab_r4/capacity_ab.json", tol=0.01):
         k16 = f"pre{args.pre_nms}_rpn{args.rpn_topn}_det16"
         if k8 not in r or k16 not in r:
             return False, f"rows missing ({k8}/{k16})"
+        if r[k16]["mAP"] < _GATE_FLOOR:
+            return False, (f"VOID (det16 row mAP {r[k16]['mAP']:.4f} "
+                           f"below sanity floor {_GATE_FLOOR} — "
+                           "broken eval?)")
         ok = r[k8]["mAP"] >= r[k16]["mAP"] - tol
         return ok, (f"{'PASS' if ok else 'FAIL'} "
                     f"(mAP det8 {r[k8]['mAP']:.4f} vs "

@@ -63,9 +63,23 @@ class DenseInt8(nn.Module):
                        (x.shape[-1], self.features))
         b = self.param("bias", torch_linear_bias(self.fan_in),
                        (self.features,))
-        kf = k.astype(jnp.float32)
-        w_s = jnp.maximum(jnp.max(jnp.abs(kf), axis=0), 1e-8) / 127.0
-        w_q = jnp.round(kf / w_s).astype(jnp.int8)
+        if k.dtype == jnp.int8:
+            # pre-quantized serving tree (utils.params.quantize_dense_
+            # params): the per-step weight-quant chain below re-reads the
+            # full fc6 kernel (50176x4096) through an f32 upcast + abs-max
+            # + round EVERY step — measured ~3 ms of the 3.8 ms SGG fc
+            # stage at the levered serving config (tools/sgg_dissect.py).
+            # Weights never change between steps; the hoisted int8 tensor
+            # + kernel_scale are BIT-IDENTICAL taps (pinned in
+            # tests/test_sgg.py), so the quant_ab quality gate carries
+            # over.
+            w_s = self.param("kernel_scale", nn.initializers.ones,
+                             (self.features,))
+            w_q = k
+        else:
+            kf = k.astype(jnp.float32)
+            w_s = jnp.maximum(jnp.max(jnp.abs(kf), axis=0), 1e-8) / 127.0
+            w_q = jnp.round(kf / w_s).astype(jnp.int8)
         xf = x.astype(jnp.float32)
         a_s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
         x_q = jnp.round(xf / a_s[:, None]).astype(jnp.int8)
@@ -111,7 +125,8 @@ class VRDHead(nn.Module):
     @nn.compact
     def __call__(self, fmap, obj_boxes, union_boxes_, spatial_fea,
                  ix1, ix2, prd_vecs, *, u_map=None,
-                 det_masks=None, deterministic: bool = True):
+                 det_masks=None, deterministic: bool = True,
+                 stage: str = "full"):
         """
         Args:
           fmap: (B, H, W, C) backbone feature map (gradient-stopped by caller).
@@ -144,6 +159,8 @@ class VRDHead(nn.Module):
         # the reference's FC/Conv2d wrappers (lib/model/faster_rcnn/utils.py)
         # never override them
         x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
+        if stage == "align":              # profiling bisect (sgg_dissect)
+            return {"pooled": pooled}
         fc = ((lambda f, fi, name: DenseInt8(f, fi, name=name))
               if self.int8_fc else dense_t)
         x = nn.relu(fc(self.fc_dim, x.shape[-1], "fc6")(x))
@@ -156,6 +173,8 @@ class VRDHead(nn.Module):
         x_u = nn.relu(dense_t(256, self.fc_dim, "fc8")(x[m:]))
         if u_map is not None:
             x_u = _take_rows(x_u, u_map)              # fan out to (P, 256)
+        if stage == "fc":                 # profiling bisect (sgg_dissect)
+            return {"x_u": x_u, "obj_emb": obj_feat}
 
         feats = [x_u]
         if self.use_obj_visual:
@@ -265,7 +284,7 @@ class SGGModel(nn.Module):
 
     def head_on_features(self, base_feat, im_info, obj_boxes, ix1, ix2,
                          pair_valid, prd_vecs, *, pair_static=None,
-                         deterministic: bool = True):
+                         deterministic: bool = True, stage: str = "full"):
         """Relation head on a precomputed backbone feature map.
 
         Used by the fused serving pipeline (``serve.py``) to share ONE trunk
@@ -311,6 +330,6 @@ class SGGModel(nn.Module):
 
         out = self.vrd(base_feat, obj_rois, union_rois, None,
                        ix1, ix2, prd_vecs, u_map=u_map, det_masks=det_masks,
-                       deterministic=deterministic)
+                       deterministic=deterministic, stage=stage)
         out["pair_valid"] = pair_valid
         return out

@@ -161,7 +161,8 @@ def restore_full(ckpt_dir: str, step: int, state: TrainState) -> TrainState:
 
 
 def _merge_filtered(init_params, ckpt_params, skip: Sequence[str],
-                    keep_only_roots: Optional[Sequence[str]] = None):
+                    keep_only_roots: Optional[Sequence[str]] = None,
+                    stats: Optional[Dict[str, int]] = None):
     """Copy ckpt values over init values, path-filtered, with
     shape-intersection at the leaf level (the reference's test-time
     intersection load, test_net_instance_styleD_bilinear.py:76-79).
@@ -180,6 +181,7 @@ def _merge_filtered(init_params, ckpt_params, skip: Sequence[str],
         return any(f"/{s}/" in joined for s in skip)
 
     out = {}
+    copied = named = 0
     for path, ref in flat_init.items():
         new = flat_ckpt.get(path)
         if (new is None or skipped(path)
@@ -187,8 +189,16 @@ def _merge_filtered(init_params, ckpt_params, skip: Sequence[str],
                     and path[0] not in keep_only_roots)):
             out[path] = ref
             continue
+        named += 1
         ref_a, new_a = np.asarray(ref), np.asarray(new)
-        out[path] = new_a if ref_a.shape == new_a.shape else ref_a
+        if ref_a.shape == new_a.shape:
+            out[path] = new_a
+            copied += 1
+        else:
+            out[path] = ref_a
+    if stats is not None:
+        stats["copied"], stats["named"] = copied, named
+        stats["total"] = len(flat_init)
     return traverse_util.unflatten_dict(out)
 
 
@@ -208,8 +218,30 @@ def restore_sgg_init(det_ckpt_dir: str, step: int, sgg_init_params):
                            skip=(), keep_only_roots=("trunk",))
 
 
-def restore_intersection(ckpt_dir: str, step: int, init_params):
+def restore_intersection(ckpt_dir: str, step: int, init_params,
+                         min_match: float = 0.9):
     """Test-time load: copy every param whose name+shape matches.
-    [test_net_instance_styleD_bilinear.py:76-79]"""
+    [test_net_instance_styleD_bilinear.py:76-79]
+
+    Unlike the reference's silent intersection load, a low NAME-match
+    fraction here raises: evaluating a mostly-random-init model produces
+    degenerate detections and mAP ~0 that can masquerade as a (vacuously
+    passing) quality-gate result — exactly what happened when a res50
+    checkpoint was evaluated with a res101 model (runs/capacity_ab_r64,
+    round 4: the extra-depth layer names simply don't exist in the ckpt).
+    Name-matched leaves whose SHAPES differ stay at init without erroring
+    — that is the intended intersection semantics (e.g. a new class count
+    changing head shapes). Pass ``min_match=0`` for a deliberately
+    partial load.
+    """
     tree = _load_tree(_ckpt_path(ckpt_dir, step))
-    return _merge_filtered(init_params, tree["params"], skip=())
+    stats: Dict[str, int] = {}
+    out = _merge_filtered(init_params, tree["params"], skip=(),
+                          stats=stats)
+    frac = stats["named"] / max(stats["total"], 1)
+    if frac < min_match:
+        raise ValueError(
+            f"checkpoint {ckpt_dir}@{step} names only {stats['named']}"
+            f"/{stats['total']} params ({frac:.0%}) of the model — "
+            "wrong --net / architecture for this checkpoint?")
+    return out

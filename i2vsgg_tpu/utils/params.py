@@ -108,6 +108,45 @@ def quantize_trunk_params(params, scope: str = "layer3,layer4",
     return walk((), params)
 
 
+def quantize_dense_params(params, names=("fc6", "fc7")):
+    """Pre-quantize DenseInt8 tower kernels to int8 serving storage.
+
+    The DenseInt8 layer (models/sgg.py) derives per-out-channel int8
+    weights from the stored kernel ON EVERY STEP — for the SGG head's
+    fc6 that is an f32 upcast + abs-max + round over a 50176x4096
+    matrix, measured ~3 ms/step of HBM traffic at the levered serving
+    config (tools/sgg_dissect.py: the fc stage was 3.80 ms of which the
+    int8 dot itself is ~0.6). Weights never change between steps, so
+    the chain is hoisted here exactly like ``quantize_trunk_params``:
+    each 2-D ``kernel`` leaf under a module named in ``names`` is
+    replaced by its int8 tensor + sibling ``kernel_scale``. Same
+    abs-max/round pipeline as the layer -> BIT-IDENTICAL integer taps,
+    so the committed quality gate (runs/quant_ab) carries over.
+
+    Apply AFTER ``bf16_storage_cast`` and only when the model was built
+    with ``int8_fc=True`` (nn.Dense cannot consume int8 kernels).
+    """
+    def walk(mod, tree):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(k, v)
+            elif (k == "kernel" and getattr(v, "ndim", 0) == 2
+                    and mod in names):
+                kf = v.astype(jnp.float32)
+                w_s = jnp.maximum(jnp.max(jnp.abs(kf), axis=0),
+                                  1e-8) / 127.0
+                out["kernel"] = jnp.round(kf / w_s).astype(jnp.int8)
+                out["kernel_scale"] = w_s
+            else:
+                out[k] = v
+        return out
+
+    return walk("", params)
+
+
 def bf16_storage_cast(params):
     """Cast fp32 params to bf16 for serving, except precision-sensitive
     paths (FrozenBatchNorm statistics, bbox regression head).

@@ -117,6 +117,31 @@ def test_int8_fc_matches_fp32_scores(model_params_prd, rng):
     assert np.max(np.abs(ref - quant)) < 0.05, np.max(np.abs(ref - quant))
 
 
+def test_int8_fc_prequantized_bit_identical(model_params_prd, rng):
+    """quantize_dense_params (load-time weight-quant hoist) must produce
+    EXACTLY the on-the-fly DenseInt8 scores: same abs-max/round pipeline
+    -> same integer taps, so the quant_ab quality gate carries over."""
+    from i2vsgg_tpu.utils.params import quantize_dense_params
+    model, params, prd = model_params_prd
+    q_model = SGGModel(
+        trunk=ResNetTrunk(depth=10, dtype=jnp.float32),
+        vrd=VRDHead(emb_dim=32, fc_dim=64, dtype=jnp.float32, int8_fc=True),
+        n_rel=N_REL)
+    batch = make_batch(rng)
+    args = (batch["image"][:1], batch["im_info"][0], batch["obj_boxes"][0],
+            jnp.zeros((G,), jnp.int32), batch["ix1"][0], batch["ix2"][0],
+            batch["pair_valid"][0], prd)
+    onfly = np.asarray(q_model.apply({"params": params}, *args)["scores"])
+    pq = quantize_dense_params(params)
+    assert pq["vrd"]["fc6"]["kernel"].dtype == jnp.int8
+    assert pq["vrd"]["fc7"]["kernel"].dtype == jnp.int8
+    assert "kernel_scale" in pq["vrd"]["fc6"]
+    # nothing else quantized (so_vis_embeddings etc. untouched)
+    assert pq["vrd"]["so_vis_embeddings"]["kernel"].dtype != jnp.int8
+    hoisted = np.asarray(q_model.apply({"params": pq}, *args)["scores"])
+    np.testing.assert_array_equal(onfly, hoisted)
+
+
 def test_union_dedup_is_exact(model_params_prd, rng):
     """pair_static (unordered-union dedup) must yield EXACTLY the same
     scores as per-ordered-pair unions: union boxes are symmetric."""

@@ -93,6 +93,15 @@ def main(argv=None):
     if args.ckpt:
         ckpt_dir = os.path.dirname(args.ckpt)
         args.skip_train = True
+        # the checkpoint dictates the architecture: evaluating a res50
+        # ckpt with the res101 default silently left the trunk at random
+        # init (mAP 0.0 both rows, runs/capacity_ab_r64 round 4 — the
+        # restore now also hard-errors on low match fraction)
+        for net in ("res50", "res101"):
+            if f"/{net}/" in f"/{args.ckpt}/" and args.net != net:
+                print(f"--net {args.net} contradicts ckpt path "
+                      f"({net}); using {net}")
+                args.net = net
     if not args.skip_train:
         from tools.trainval_det_da import main as train_main
         train_main([
@@ -128,7 +137,10 @@ def main(argv=None):
         aps = eval_main([
             "--dataset", args.dataset, "--net", args.net, "--bs", "1",
             "--ic", "--gc",
-            "--save_dir", args.out,
+            # per-process detections dir: two A/B processes sharing one
+            # save_dir interleave per-class detection files and the AP is
+            # computed over a corrupted mixture (round-4 postmortem #4)
+            "--save_dir", os.path.join(args.out, f"eval_pid{os.getpid()}"),
             "--load_name", os.path.join(ckpt_dir, str(step)),
             "--cfg"] + CFG + ["TEST.RPN_POST_NMS_TOP_N", str(rpn_topn),
                               "TEST.RPN_PRE_NMS_TOP_N", str(pre_nms),

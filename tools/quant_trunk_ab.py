@@ -35,6 +35,22 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _ckpt_fingerprint(ckpt: str) -> str:
+    """Content fingerprint of a checkpoint dir (file names + sizes +
+    mtimes). Cheap (no reads); changes whenever the checkpoint is
+    rewritten, which is what --reuse_fp staleness needs to detect."""
+    import hashlib
+    step = int(os.path.basename(ckpt))
+    path = os.path.join(os.path.dirname(ckpt), f"step_{step:08d}")
+    h = hashlib.sha1()
+    for root, _, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            h.update(f"{os.path.relpath(os.path.join(root, f), path)}"
+                     f":{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/parity_r3")
@@ -80,7 +96,8 @@ def main(argv=None):
 
     ckpt = args.ckpt
     datasets = [args.dataset] + ([args.dataset_t] if args.dataset_t else [])
-    results = {"ckpt": ckpt, "mode": args.mode}
+    results = {"ckpt": ckpt, "mode": args.mode,
+               "ckpt_fingerprint": _ckpt_fingerprint(ckpt)}
     if args.act_scales:
         # recorded so bench.py's _gate_int8trunk can serve the SAME
         # static-scale numerics the gate validated
@@ -90,6 +107,19 @@ def main(argv=None):
             prev = json.load(f)
         assert prev["ckpt"] == ckpt, (
             f"--reuse_fp arm was evaluated on {prev['ckpt']}, not {ckpt}")
+        # path equality is not content equality: round 4's @3x3 re-gate
+        # reused an fp arm measured on a checkpoint that had since been
+        # GC'd and RETRAINED at the same path — the delta compared two
+        # different models. Fingerprint the checkpoint contents.
+        prev_fpr = prev.get("ckpt_fingerprint")
+        assert prev_fpr is None or prev_fpr == results["ckpt_fingerprint"], (
+            f"--reuse_fp arm was evaluated on a DIFFERENT {ckpt} "
+            f"(fingerprint {prev_fpr} != {results['ckpt_fingerprint']}) — "
+            "the checkpoint was rewritten since; re-evaluate the fp arm")
+        if prev_fpr is None:
+            print("WARNING: --reuse_fp artifact predates checkpoint "
+                  "fingerprinting — cannot verify the fp arm is from "
+                  "this exact checkpoint")
         missing = [ds for ds in datasets if ds not in prev["fp"]]
         assert not missing, f"--reuse_fp arm lacks datasets {missing}"
         results["fp"] = {ds: prev["fp"][ds] for ds in datasets}
@@ -112,7 +142,12 @@ def main(argv=None):
                     if args.act_scales else [])
                  if arm == "int8" else []) + [
                 "--dataset", ds, "--net", args.net, "--bs", "1",
-                "--ic", "--gc", "--save_dir", args.out,
+                # per-process detections dir — concurrent evals sharing
+                # one save_dir corrupt each other's per-class detection
+                # files (round-4 postmortem #4: fp arm scored 0.1002
+                # instead of 0.2843 under an orphaned racer)
+                "--ic", "--gc", "--save_dir",
+                os.path.join(args.out, f"eval_pid{os.getpid()}"),
                 "--load_name", ckpt,
                 "--cfg"] + list(args.cfg) + [
                     "TEST.RPN_POST_NMS_TOP_N", str(args.rpn_topn),

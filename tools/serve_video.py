@@ -122,6 +122,11 @@ def main(argv=None):
             os.path.dirname(ns.sgg_load_name),
             int(os.path.basename(ns.sgg_load_name)), sgg_params)
         print(f"sgg head: {ns.sgg_load_name}")
+    if args.int8_fc6:
+        # hoist the fc-tower weight-quant chain to load time (~3 ms/step
+        # in-program otherwise — tools/sgg_dissect.py; bit-identical taps)
+        from i2vsgg_tpu.utils.params import quantize_dense_params
+        sgg_params = quantize_dense_params(sgg_params)
     sgg_params = jax.device_put(sgg_params)   # commit once
 
     program = make_frame_program(det, det_params, sgg, sgg_params, prd_np,

@@ -473,8 +473,22 @@ def main():
                         with open(int8t_acts) as f:
                             acts2 = json.load(f)
                         acts2 = acts2.get("scales", acts2)
-                    det_params2 = quantize_trunk_params(
-                        det_params, int8t_env.partition(":")[2], acts2)
+                    try:
+                        det_params2 = quantize_trunk_params(
+                            det_params, int8t_env.partition(":")[2], acts2)
+                    except KeyError as e:
+                        # calibration paths don't cover this model (the
+                        # gate calibrates the res50 parity ckpt; the bench
+                        # model is res101 with more blocks). Unit static
+                        # scales keep the gated PROGRAM SHAPE (static-act
+                        # elementwise quant, no dynamic abs-max pass) —
+                        # timing-equivalent; the quality evidence lives in
+                        # the gate artifact, not the random-weight bench
+                        log(f"auto-levers: static act scales don't map to "
+                            f"the bench model ({e}); timing with unit "
+                            "scales")
+                        det_params2 = quantize_trunk_params(
+                            det_params, int8t_env.partition(":")[2], 1.0)
                 det2, cfg_l = det, cfg
                 rpn_l, pre_l = args.rpn_topn, args.pre_nms
                 if rpn64_ok:

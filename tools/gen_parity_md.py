@@ -264,6 +264,56 @@ def _round4_sections(lines):
             pre, rpn, det = (p[3:] for p in key.split("_"))
             lines.append(f"| {pre} | {rpn} | {det} | {_fmt(m['mAP'], 4)} |")
         lines.append("")
+    cap64 = _load("runs/capacity_ab_r64/capacity_ab.json")
+    if cap64.get("results"):
+        lines += [
+            "### rpn64/pre512 serving-capacity re-gate "
+            "(retrained converged ckpt)", "",
+            f"`{cap64.get('ckpt_dir', '?')}/{cap64.get('step', '?')}` "
+            "re-evaluated after the checkpoint GC+deterministic retrain "
+            "(PARITY.md round-4 postmortem). The full-capacity base row "
+            "doubles as the determinism check — it must bit-reproduce "
+            "the committed 0.2843410029065319 "
+            "(`runs/capacity_ab_r64/capacity_ab.json`):", "",
+            "| pre-NMS | RPN top-N | max det | mAP |", "|---|---|---|---|"]
+        for key, m in cap64["results"].items():
+            pre, rpn, det = (p[3:] for p in key.split("_"))
+            lines.append(f"| {pre} | {rpn} | {det} | {_fmt(m['mAP'], 4)} |")
+        lines.append("")
+    _int8_trunk_section(lines)
+
+
+def _int8_trunk_section(lines, tol=0.01):
+    """One row per int8-trunk scope A/B artifact (the gate family
+    bench.py's _gate_int8trunk ranks — full trunk FAILED, layer scopes
+    and @3x3/static variants re-gated in sibling files)."""
+    import glob
+    files = sorted(glob.glob("runs/quant_trunk_ab/quant_trunk*.json"))
+    rows = []
+    for p in files:
+        d = _load(p)
+        delta = d.get("delta")
+        if not delta:
+            continue
+        ok = all(v >= -tol for v in delta.values())
+        rows.append((d.get("mode", "sim"),
+                     "static" if d.get("act_scales") else "dynamic",
+                     delta, "PASS" if ok else "FAIL"))
+    if not rows:
+        return
+    lines += [
+        "### int8 trunk-conv serving quantization — scope gate family", "",
+        "Same converged Stage-A checkpoint evaluated fp vs int8 trunk "
+        "convs per quantization scope (`tools/quant_trunk_ab.py`, "
+        "`runs/quant_trunk_ab/*.json`; tol 0.01 mAP on every dataset — "
+        "bench.py auto-cashes the best-ranked PASSing scope):", "",
+        "| scope (mode) | act scales | " + " | ".join(
+            f"d mAP {k}" for k in rows[0][2]) + " | gate |",
+        "|---|---|" + "---|" * (len(rows[0][2]) + 1)]
+    for mode, acts, delta, verdict in rows:
+        lines.append(f"| `{mode}` | {acts} | " + " | ".join(
+            f"{v:+.4f}" for v in delta.values()) + f" | {verdict} |")
+    lines.append("")
 
 
 def _pre_bfix_section(lines):

@@ -128,8 +128,8 @@ def main():
                 "unit": "frames/s/chip",
                 "vs_baseline": None,
                 "error": f"tpu tunnel unavailable ({msg}); "
-                         "last clean-chip in-repo measurement 421.0 fps/chip"
-                         " levered (PERF.md round 4)",
+                         "last clean-chip in-repo measurement 422.1 fps/chip"
+                         " levered (runs/bench_r4b, PERF.md round 4)",
             }))
 
         try:

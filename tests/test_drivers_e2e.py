@@ -199,11 +199,19 @@ def test_serve_video_driver(fixture_env, workdir):
     assert isinstance(rels, dict)
 
     # production serving levers: uint8 frame transport (mean subtraction
-    # on device) + int8 fc6/fc7 — same checkpoints, same videos; the
-    # pipeline must stay structurally identical (uint8 rounding and int8
-    # quantization perturb scores, not the schema)
+    # on device) + int8 fc6/fc7 + bf16 weight storage + the static-act
+    # int8 trunk deployment form (prequantized in-scope kernels, scalar
+    # static scale) — same checkpoints, same videos; the pipeline must
+    # stay structurally identical (uint8 rounding and int8 quantization
+    # perturb scores, not the schema)
+    calib = os.path.join(workdir, "unit_scales.json")
+    with open(calib, "w") as f:
+        json.dump({"scales": 0.05}, f)
     rels_q = main(["--dataset", "MVidVRD", "--net", "res10", "--bs", "2",
                    "--ic", "--gc", "--uint8_upload", "--int8_fc6",
+                   "--bf16_weights",
+                   "--int8_trunk", "sim:layer3,@3x3",
+                   "--act_scales", calib,
                    "--num_relations", str(fixture_env["n_rel"]),
                    "--compute_dtype", "float32",
                    "--save_dir", workdir,

@@ -35,6 +35,11 @@ def main(argv=None):
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--sgg_load_name", default="")
     extra.add_argument("--max_det", default=16, type=int)
+    extra.add_argument("--bf16_weights", action="store_true",
+                       help="store serving weights in bf16 (halves weight "
+                            "streaming; FrozenBatchNorm statistics and the "
+                            "bbox_pred head stay fp32 — "
+                            "utils.params.bf16_storage_cast)")
     ns, rest = extra.parse_known_args(argv)
     args = set_dataset_args(parse_args(rest), test=True)
 
@@ -83,6 +88,31 @@ def main(argv=None):
             os.path.dirname(args.load_name),
             int(os.path.basename(args.load_name)), det_params)
         print(f"detector: {args.load_name}")
+    if ns.bf16_weights:
+        from i2vsgg_tpu.utils.params import bf16_storage_cast
+        det_params = bf16_storage_cast(det_params)
+    if getattr(args, "act_scales", ""):
+        # deployment form of the int8 trunk (the form the l34@3x3+static
+        # quality gate validated): pre-quantize the in-scope kernels at
+        # load time and attach calibrated STATIC act scales — BNConv then
+        # quantizes inputs elementwise (fusable) instead of running the
+        # dynamic abs-max pass + weight-requant chain every step
+        from i2vsgg_tpu.utils.params import quantize_trunk_params
+        kind, _, scope = (args.int8_trunk or "off").partition(":")
+        assert kind in ("sim", "mxu"), \
+            "--act_scales requires --int8_trunk sim:<scope> or mxu:<scope>"
+        with open(args.act_scales) as f:
+            sc = json.load(f)
+        det_params = quantize_trunk_params(det_params, scope,
+                                           sc.get("scales", sc))
+        if kind == "sim":
+            os.environ["I2VSGG_INT8_PREQ_SIM"] = "1"
+        # in-scope kernels are int8 now (prequant branch wins); pop the
+        # env gate so out-of-scope convs can't double-quantize
+        os.environ.pop("I2VSGG_INT8_TRUNK", None)
+        print(f"static act scales: {args.act_scales} (scope {scope!r})")
+    else:
+        os.environ.pop("I2VSGG_INT8_PREQ_SIM", None)
     det_params = jax.device_put(det_params)   # commit once
 
     # the head must be built with the SAME pooling the SGG weights were
@@ -122,6 +152,9 @@ def main(argv=None):
             os.path.dirname(ns.sgg_load_name),
             int(os.path.basename(ns.sgg_load_name)), sgg_params)
         print(f"sgg head: {ns.sgg_load_name}")
+    if ns.bf16_weights:
+        from i2vsgg_tpu.utils.params import bf16_storage_cast
+        sgg_params = bf16_storage_cast(sgg_params)
     if args.int8_fc6:
         # hoist the fc-tower weight-quant chain to load time (~3 ms/step
         # in-program otherwise — tools/sgg_dissect.py; bit-identical taps)

@@ -354,13 +354,27 @@ class ResNetTrunk(nn.Module):
     @nn.compact
     def __call__(self, x):
         n1, n2, n3, _ = RESNET_STAGES[self.depth]
-        x = x.astype(self.dtype)
         import os as _os
-        if _os.environ.get("I2VSGG_PALLAS_CONV1") == "1":
+        from i2vsgg_tpu.ops.pallas.conv1_kernel import Conv1Planes
+        if isinstance(x, Conv1Planes):
+            # host-packed parity planes (serving input-contract lever —
+            # the on-device plane construction, ~2.8 ms/16f of XLA
+            # transpose, already happened on the host loader): straight
+            # to the planes-fed Pallas conv1.
+            from i2vsgg_tpu.ops.pallas.conv1_kernel import \
+                conv1_bn_relu_pallas_planes
+            w = Conv1S2D(dtype=self.dtype, name="conv1")(
+                None, return_kernel=True)
+            mul, add = FrozenBatchNorm(64, name="bn1")(None)
+            x = conv1_bn_relu_pallas_planes(
+                x.planes, x.h, x.w, w, mul, add,
+                interpret=jax.default_backend() != "tpu").astype(self.dtype)
+        elif _os.environ.get("I2VSGG_PALLAS_CONV1") == "1":
             # Pallas parity-plane matmul kernel (serving path; forward
             # only). Params keep the exact conv1/bn1 tree.
             from i2vsgg_tpu.ops.pallas.conv1_kernel import \
                 conv1_bn_relu_pallas
+            x = x.astype(self.dtype)
             w = Conv1S2D(dtype=self.dtype, name="conv1")(
                 None, return_kernel=True)
             mul, add = FrozenBatchNorm(64, name="bn1")(None)
@@ -368,7 +382,7 @@ class ResNetTrunk(nn.Module):
                 x, w, mul, add,
                 interpret=jax.default_backend() != "tpu").astype(self.dtype)
         else:
-            x = Conv1S2D(dtype=self.dtype, name="conv1")(x)
+            x = Conv1S2D(dtype=self.dtype, name="conv1")(x.astype(self.dtype))
             x = FrozenBatchNorm(64, name="bn1")(x)
             x = nn.relu(x)
         # caffe-convention maxpool: k3 s2 pad 0 CEIL mode (the reference's

@@ -19,6 +19,25 @@ kernel restructures the op so the MXU sees one well-shaped matmul:
 
 Output is channels-major (B, 64, Ho, WP); the caller slices/transposes
 back to NHWC (cheap relayout vs. the matmul win).
+
+Round-4 attribution (PERF.md "conv1 ATTRIBUTION") measured that the
+kernel-proper is ~1 ms — the cost is the XLA transpose that BUILDS the
+parity planes (~2.8-3.4 ms at b16) plus the output NHWC fix-up. Both are
+layout costs, not compute, so the only remaining lever is the serving
+INPUT contract: ship the parity planes from the HOST (the loader packs
+them with numpy while resizing/normalizing — a memory shuffle the host
+does once per frame, off the device's critical path). This module
+therefore splits into:
+
+* ``conv1_plane_geometry(h, w)`` — the static plane/output geometry;
+* ``pack_conv1_planes`` (jnp) / ``pack_conv1_planes_np`` (numpy, for the
+  host-side loader) — identical layouts, test-pinned against each other;
+* ``Conv1Planes`` — a pytree wrapper carrying the planes plus the static
+  image (h, w) so a jitted serving program can accept pre-packed planes
+  in place of NHWC images (``ResNetTrunk`` dispatches on the type);
+* ``conv1_bn_relu_pallas_planes`` — the pallas_call on pre-built planes;
+* ``conv1_bn_relu_pallas`` — the original device-side entry
+  (= pack + planes call), kept for the non-contract-changing path.
 """
 
 from __future__ import annotations
@@ -27,6 +46,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -44,6 +64,99 @@ def _pick_rt(ho: int, wp: int) -> int:
         if 160 * rt * wp * 2 <= budget:
             best = rt
     return best
+
+
+class Conv1Geometry(tuple):
+    """Static plane/output geometry for an (h, w) input image.
+
+    Fields: ho/wo (conv1 output), wp (lane-padded output width), rt (row
+    band), hop (band-padded output rows), hq/wq (per-plane dims). Shared by
+    the jnp and numpy packers and the kernel launch so the layouts can
+    never drift apart.
+    """
+    __slots__ = ()
+    ho = property(lambda s: s[0])
+    wo = property(lambda s: s[1])
+    wp = property(lambda s: s[2])
+    rt = property(lambda s: s[3])
+    hop = property(lambda s: s[4])
+    hq = property(lambda s: s[5])
+    wq = property(lambda s: s[6])
+
+
+def conv1_plane_geometry(h: int, w: int) -> Conv1Geometry:
+    ho = (h - 1) // 2 + 1
+    wo = (w - 1) // 2 + 1
+    wp = max(128, _round_up(wo, 128))
+    rt = _pick_rt(ho, wp)
+    hop = _round_up(ho, rt)
+    # pad 3 left/top; right/bottom so parity planes cover every tap of
+    # every (possibly padded) output row; plane rows 8-aligned + 8 slack
+    # for the aligned band loads, plane cols lane-padded
+    hq = _round_up(hop + 8, 8)
+    wq = max(128, _round_up(wo + 4, 128))
+    return Conv1Geometry((ho, wo, wp, rt, hop, hq, wq))
+
+
+def pack_conv1_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) image batch -> (B, 2, 2, 3, Hq, Wq) bf16 parity planes
+    (channels-major; pad 3 top/left baked in)."""
+    b, h, wd, _ = x.shape
+    g = conv1_plane_geometry(h, wd)
+    xp = jnp.zeros((b, 2 * g.hq, 2 * g.wq, 3), jnp.bfloat16)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.bfloat16),
+                                      (0, 3, 3, 0))
+    planes = xp.reshape(b, g.hq, 2, g.wq, 2, 3)
+    return planes.transpose(0, 2, 4, 5, 1, 3)
+
+
+def pack_conv1_planes_np(x: np.ndarray) -> np.ndarray:
+    """Numpy mirror of :func:`pack_conv1_planes` for the HOST-side loader
+    (test-pinned bit-identical — both round f32->bf16 nearest-even)."""
+    import ml_dtypes
+    b, h, wd, _ = x.shape
+    g = conv1_plane_geometry(h, wd)
+    xp = np.zeros((b, 2 * g.hq, 2 * g.wq, 3), ml_dtypes.bfloat16)
+    xp[:, 3:3 + h, 3:3 + wd, :] = x.astype(ml_dtypes.bfloat16)
+    planes = xp.reshape(b, g.hq, 2, g.wq, 2, 3)
+    return np.ascontiguousarray(planes.transpose(0, 2, 4, 5, 1, 3))
+
+
+@jax.tree_util.register_pytree_node_class
+class Conv1Planes:
+    """Pre-packed conv1 parity planes standing in for an NHWC image batch.
+
+    Carries the planes array plus the STATIC source image (h, w) so shape
+    arithmetic downstream of conv1 still works; exposes ``.shape`` =
+    (B, H, W, 3) so callers that only read the batch/image dims (e.g.
+    ``FasterRCNN_DA.train_source``) need no changes. ``ResNetTrunk``
+    dispatches on this type and skips the on-device plane construction —
+    the serving-input-contract lever (PERF.md round-4 conv1 attribution:
+    the XLA transpose that builds the planes is the cost, not the kernel).
+    """
+
+    def __init__(self, planes, h: int, w: int):
+        self.planes = planes
+        self.h = int(h)
+        self.w = int(w)
+
+    @classmethod
+    def pack(cls, x) -> "Conv1Planes":
+        b, h, w, _ = x.shape
+        if isinstance(x, np.ndarray):
+            return cls(pack_conv1_planes_np(x), h, w)
+        return cls(pack_conv1_planes(x), h, w)
+
+    @property
+    def shape(self):
+        return (self.planes.shape[0], self.h, self.w, 3)
+
+    def tree_flatten(self):
+        return (self.planes,), (self.h, self.w)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
 
 
 def _kernel(planes_ref, w_ref, sb_ref, out_ref, x_ref, *, rt, wo, wp,
@@ -94,25 +207,24 @@ def conv1_bn_relu_pallas(x, w, scale, bias, *, interpret: bool = False):
     """
     b, h, wd, cin = x.shape
     assert cin == 3 and w.shape == (7, 7, 3, 64)
-    ho = (h - 1) // 2 + 1
-    wo = (wd - 1) // 2 + 1
-    wp = max(128, _round_up(wo, 128))
-    rt = _pick_rt(ho, wp)
-    hop = _round_up(ho, rt)               # padded output rows (grid-even)
+    return conv1_bn_relu_pallas_planes(pack_conv1_planes(x), h, wd,
+                                       w, scale, bias, interpret=interpret)
 
-    # pad 3 left/top; right/bottom so parity planes cover every tap of
-    # every (possibly padded) output row; plane rows 8-aligned + 8 slack
-    # for the aligned band loads, plane cols lane-padded
-    hq = _round_up(hop + 8, 8)
-    wq = max(128, _round_up(wo + 4, 128))
-    hp2 = 2 * hq
-    wp2 = 2 * wq
-    xp = jnp.zeros((b, hp2, wp2, 3), jnp.bfloat16)
-    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.bfloat16),
-                                      (0, 3, 3, 0))
-    # (B, 2, 2, 3, Hq, Wq) channels-major parity planes
-    planes = xp.reshape(b, hq, 2, wq, 2, 3)
-    planes = planes.transpose(0, 2, 4, 5, 1, 3)
+
+@functools.partial(jax.jit, static_argnames=("h", "wd", "interpret"))
+def conv1_bn_relu_pallas_planes(planes, h: int, wd: int, w, scale, bias, *,
+                                interpret: bool = False):
+    """The pallas_call on pre-built parity planes (see module docstring).
+
+    Args:
+      planes: (B, 2, 2, 3, Hq, Wq) bf16 from pack_conv1_planes[_np](x).
+      h, wd: the ORIGINAL image dims (static; fix the geometry).
+    Returns: (B, Ho, Wo, 64) bf16.
+    """
+    g = conv1_plane_geometry(h, wd)
+    ho, wo, wp, rt, hop = g.ho, g.wo, g.wp, g.rt, g.hop
+    b = planes.shape[0]
+    assert planes.shape[1:] == (2, 2, 3, g.hq, g.wq), (planes.shape, g)
 
     # (64, 160) weight: K index = (dr*7+dc)*3 + ch
     w2 = jnp.zeros((64, 160), jnp.bfloat16)

@@ -222,6 +222,21 @@ def test_serve_video_driver(fixture_env, workdir):
     assert set(frame_dets_q) == set(frame_dets)
     assert isinstance(rels_q, dict)
 
+    # host-planes input contract: the loader packs conv1 parity planes in
+    # numpy; the schema (and, per tests/test_serve.py, every score the
+    # Pallas conv1 path produces) is unchanged
+    rels_p = main(["--dataset", "MVidVRD", "--net", "res10", "--bs", "2",
+                   "--ic", "--gc", "--host_planes",
+                   "--num_relations", str(fixture_env["n_rel"]),
+                   "--compute_dtype", "float32",
+                   "--save_dir", workdir,
+                   "--load_name", _step_arg(det_ck),
+                   "--sgg_load_name", _step_arg(sgg_ck),
+                   "--max_det", "6"] + TINY_CFG + SGG_TINY)
+    frame_dets_p = json.load(open(out))
+    assert set(frame_dets_p) == set(frame_dets)
+    assert isinstance(rels_p, dict)
+
 
 def test_stage_b_recognition_task(fixture_env, workdir):
     """vrd_task=pre_det: recognition Accuracy@1/5 via GT pairs + so-prior."""

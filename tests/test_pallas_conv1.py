@@ -6,7 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from i2vsgg_tpu.ops.pallas.conv1_kernel import conv1_bn_relu_pallas
+from i2vsgg_tpu.ops.pallas.conv1_kernel import (
+    Conv1Planes, conv1_bn_relu_pallas, conv1_bn_relu_pallas_planes,
+    pack_conv1_planes, pack_conv1_planes_np)
 
 
 def _oracle(x, w, scale, bias):
@@ -32,6 +34,58 @@ def test_conv1_kernel_matches_xla(shape):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=0.05, atol=0.15)
+
+
+@pytest.mark.parametrize("shape", [(1, 64, 96), (2, 50, 70)])
+def test_host_pack_bit_identical_to_device_pack(shape):
+    """The numpy loader-side packer and the jnp packer produce the SAME
+    bytes — the host-plane serving contract rests on this."""
+    b, h, w_ = shape
+    rng = np.random.RandomState(3)
+    x = (rng.randn(b, h, w_, 3) * 20).astype(np.float32)
+    dev = np.asarray(pack_conv1_planes(jnp.asarray(x)), np.float32)
+    host = np.asarray(pack_conv1_planes_np(x), np.float32)
+    assert dev.shape == host.shape
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_planes_entry_bit_identical_to_packed_entry():
+    """conv1_bn_relu_pallas == pack (host, numpy) + planes entry."""
+    rng = np.random.RandomState(4)
+    x = (rng.randn(1, 64, 96, 3) * 20).astype(np.float32)
+    w = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+    want = conv1_bn_relu_pallas(jnp.asarray(x), w, scale, bias,
+                                interpret=True)
+    planes = jnp.asarray(pack_conv1_planes_np(x))
+    got = conv1_bn_relu_pallas_planes(planes, 64, 96, w, scale, bias,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(want, np.float32),
+                                  np.asarray(got, np.float32))
+
+
+def test_trunk_dispatches_on_conv1planes(monkeypatch):
+    """ResNetTrunk fed a host-packed Conv1Planes matches the env-switched
+    Pallas path bit-for-bit (same kernel, pre-built planes) and works
+    under jit (pytree with static (h, w) aux)."""
+    from i2vsgg_tpu.models.backbones import ResNetTrunk
+    rng = np.random.RandomState(5)
+    xn = (rng.randn(1, 64, 80, 3) * 10).astype(np.float32)
+    x = jnp.asarray(xn)
+    trunk = ResNetTrunk(depth=10, dtype=jnp.float32)
+    params = trunk.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    monkeypatch.setenv("I2VSGG_PALLAS_CONV1", "1")
+    ref, ref_tap = trunk.apply({"params": params}, x)
+    monkeypatch.delenv("I2VSGG_PALLAS_CONV1")
+    planes = Conv1Planes.pack(xn)
+    assert planes.shape == (1, 64, 80, 3)
+    got, got_tap = jax.jit(
+        lambda p, pl_: trunk.apply({"params": p}, pl_))(params, planes)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(got, np.float32))
+    np.testing.assert_array_equal(np.asarray(ref_tap, np.float32),
+                                  np.asarray(got_tap, np.float32))
 
 
 def test_trunk_env_switch_matches(monkeypatch):

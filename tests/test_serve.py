@@ -159,3 +159,27 @@ def test_bucketed_program_matches_full(fused_models):
         for key in full_pairs:
             np.testing.assert_allclose(full_pairs[key], got_pairs[key],
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_frame_program_accepts_host_planes(fused_models, monkeypatch):
+    """Serving input-contract lever: the fused program fed HOST-packed
+    conv1 parity planes (Conv1Planes) is bit-identical to the same program
+    fed images with the Pallas conv1 env switch on (same kernel; the only
+    difference is WHERE the planes were built — numpy loader vs device)."""
+    from i2vsgg_tpu.ops.pallas.conv1_kernel import Conv1Planes
+    det, det_params, sgg, sgg_params, prd, md, (h, w) = fused_models
+    program = make_frame_program(det, det_params, sgg, sgg_params, prd, CFG,
+                                 max_det=md, max_per_class=4)
+    b = 2
+    images_np = (np.random.RandomState(4).randn(b, h, w, 3) * 10
+                 ).astype(np.float32)
+    im_info = jnp.tile(jnp.asarray([[h, w, 1.0]], jnp.float32), (b, 1))
+    monkeypatch.setenv("I2VSGG_PALLAS_CONV1", "1")
+    ref = jax.device_get(program(jnp.asarray(images_np), im_info))
+    monkeypatch.delenv("I2VSGG_PALLAS_CONV1")
+    planes = Conv1Planes.pack(images_np)
+    out = jax.device_get(program(planes, im_info))
+    for k in ("boxes", "scores", "rel_prob"):
+        np.testing.assert_array_equal(ref[k], out[k])
+    np.testing.assert_array_equal(ref["det_valid"], out["det_valid"])
+    np.testing.assert_array_equal(ref["pair_valid"], out["pair_valid"])

@@ -40,6 +40,14 @@ def main(argv=None):
                             "streaming; FrozenBatchNorm statistics and the "
                             "bbox_pred head stay fp32 — "
                             "utils.params.bf16_storage_cast)")
+    extra.add_argument("--host_planes", action="store_true",
+                       help="serving input-contract lever: the loader packs "
+                            "conv1 parity planes on the HOST (numpy, bf16) "
+                            "and the device skips the plane-construction "
+                            "transpose; bit-identical to the Pallas conv1 "
+                            "path (tests/test_pallas_conv1.py). Planes ship "
+                            "at 2 B/px — half the f32 image upload. "
+                            "Exclusive with --uint8_upload")
     ns, rest = extra.parse_known_args(argv)
     args = set_dataset_args(parse_args(rest), test=True)
 
@@ -165,6 +173,9 @@ def main(argv=None):
     program = make_frame_program(det, det_params, sgg, sgg_params, prd_np,
                                  cfg, max_det=md)
     img_key = "image"
+    if ns.host_planes:
+        assert not args.uint8_upload, \
+            "--host_planes and --uint8_upload are exclusive (planes ship bf16)"
     if args.uint8_upload:
         # 4x smaller host->device transfers: frames ship as resized uint8
         # BGR; mean subtraction + pad re-zeroing fuse into the program
@@ -181,8 +192,12 @@ def main(argv=None):
     t0 = time.time()
     done = 0
     for batch in loader:
-        out = jax.device_get(program(jnp.asarray(batch[img_key]),
-                                     jnp.asarray(batch["im_info"])))
+        if ns.host_planes:
+            from i2vsgg_tpu.ops.pallas.conv1_kernel import Conv1Planes
+            imgs = Conv1Planes.pack(np.asarray(batch["image"], np.float32))
+        else:
+            imgs = jnp.asarray(batch[img_key])
+        out = jax.device_get(program(imgs, jnp.asarray(batch["im_info"])))
         for bi, ridx in enumerate(batch["indices"]):
             index = os.path.splitext(os.path.basename(
                 roidb[int(ridx)]["image"]))[0]

@@ -356,31 +356,42 @@ class ResNetTrunk(nn.Module):
         n1, n2, n3, _ = RESNET_STAGES[self.depth]
         import os as _os
         from i2vsgg_tpu.ops.pallas.conv1_kernel import Conv1Planes
+        # the Pallas stem fuses the caffe ceil-mode maxpool in the
+        # kernel's channels-major layout (bitwise-equal post-relu; the
+        # NHWC fix-up transpose then moves 4x fewer bytes). Opt-out env
+        # for on-chip A/Bs.
+        fused_pool = _os.environ.get("I2VSGG_CONV1_FUSED_POOL", "1") == "1"
+        pooled = False
         if isinstance(x, Conv1Planes):
             # host-packed parity planes (serving input-contract lever —
             # the on-device plane construction, ~2.8 ms/16f of XLA
             # transpose, already happened on the host loader): straight
             # to the planes-fed Pallas conv1.
-            from i2vsgg_tpu.ops.pallas.conv1_kernel import \
-                conv1_bn_relu_pallas_planes
+            from i2vsgg_tpu.ops.pallas.conv1_kernel import (
+                conv1_bn_relu_pallas_planes, conv1_stem_pallas_planes)
             w = Conv1S2D(dtype=self.dtype, name="conv1")(
                 None, return_kernel=True)
             mul, add = FrozenBatchNorm(64, name="bn1")(None)
-            x = conv1_bn_relu_pallas_planes(
-                x.planes, x.h, x.w, w, mul, add,
-                interpret=jax.default_backend() != "tpu").astype(self.dtype)
+            fn = (conv1_stem_pallas_planes if fused_pool
+                  else conv1_bn_relu_pallas_planes)
+            x = fn(x.planes, x.h, x.w, w, mul, add,
+                   interpret=jax.default_backend() != "tpu"
+                   ).astype(self.dtype)
+            pooled = fused_pool
         elif _os.environ.get("I2VSGG_PALLAS_CONV1") == "1":
             # Pallas parity-plane matmul kernel (serving path; forward
             # only). Params keep the exact conv1/bn1 tree.
-            from i2vsgg_tpu.ops.pallas.conv1_kernel import \
-                conv1_bn_relu_pallas
+            from i2vsgg_tpu.ops.pallas.conv1_kernel import (
+                conv1_bn_relu_pallas, conv1_stem_pallas)
             x = x.astype(self.dtype)
             w = Conv1S2D(dtype=self.dtype, name="conv1")(
                 None, return_kernel=True)
             mul, add = FrozenBatchNorm(64, name="bn1")(None)
-            x = conv1_bn_relu_pallas(
-                x, w, mul, add,
-                interpret=jax.default_backend() != "tpu").astype(self.dtype)
+            fn = conv1_stem_pallas if fused_pool else conv1_bn_relu_pallas
+            x = fn(x, w, mul, add,
+                   interpret=jax.default_backend() != "tpu"
+                   ).astype(self.dtype)
+            pooled = fused_pool
         else:
             x = Conv1S2D(dtype=self.dtype, name="conv1")(x.astype(self.dtype))
             x = FrozenBatchNorm(64, name="bn1")(x)
@@ -389,8 +400,9 @@ class ResNetTrunk(nn.Module):
         # '# change', resnet_instance_styleD_bilinear.py:228) — NOT
         # torchvision's pad 1 floor. Ceil mode = implicit -inf pad at the
         # END when (dim - 3) is odd; out = (dim - 2) // 2 + 1.
-        pe = [(0, 1 if d % 2 == 0 else 0) for d in x.shape[1:3]]
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pe)
+        if not pooled:
+            pe = [(0, 1 if d % 2 == 0 else 0) for d in x.shape[1:3]]
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pe)
         x = ResNetStage(64, n1, 1, self.dtype, name="layer1")(x)
         tap = ResNetStage(128, n2, 2, self.dtype, name="layer2")(x)
         x = ResNetStage(256, n3, 2, self.dtype, name="layer3")(tap)

@@ -159,7 +159,7 @@ class Conv1Planes:
         return cls(children[0], *aux)
 
 
-def _kernel(planes_ref, w_ref, sb_ref, out_ref, x_ref, *, rt, wo, wp,
+def _kernel(planes_ref, w_ref, sb_ref, out_ref, x_ref, *, rt, ho, wo, wp,
             out_dtype):
     """One grid step = one row band of one image.
 
@@ -192,7 +192,16 @@ def _kernel(planes_ref, w_ref, sb_ref, out_ref, x_ref, *, rt, wo, wp,
     y = jax.lax.dot_general(w_ref[...], x2, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = jnp.maximum(y * sb_ref[0] + sb_ref[1], 0.0)        # bn + relu
-    out_ref[0] = y.astype(out_dtype).reshape(64, rt, wp)
+    y = y.reshape(64, rt, wp)
+    # ZERO the row/col padding (bn bias would otherwise leave relu(bias)
+    # there): the unpooled caller slices it off anyway, and the fused
+    # stem-maxpool path POOLS ACROSS it — post-relu values are >= 0, so
+    # max over {reals..., 0} == max(reals): zero pad is bitwise-equal to
+    # the reference's ceil-mode -inf pad.
+    rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (rt, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rt, wp), 1)
+    y = jnp.where((rows < ho) & (cols < wo), y, 0.0)
+    out_ref[0] = y.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -211,16 +220,9 @@ def conv1_bn_relu_pallas(x, w, scale, bias, *, interpret: bool = False):
                                        w, scale, bias, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "wd", "interpret"))
-def conv1_bn_relu_pallas_planes(planes, h: int, wd: int, w, scale, bias, *,
-                                interpret: bool = False):
-    """The pallas_call on pre-built parity planes (see module docstring).
-
-    Args:
-      planes: (B, 2, 2, 3, Hq, Wq) bf16 from pack_conv1_planes[_np](x).
-      h, wd: the ORIGINAL image dims (static; fix the geometry).
-    Returns: (B, Ho, Wo, 64) bf16.
-    """
+def _conv1_cm(planes, h: int, wd: int, w, scale, bias, interpret: bool):
+    """The pallas_call itself: channels-major zero-padded output
+    (B, 64, hop, wp) — the padding beyond (ho, wo) is exact zeros."""
     g = conv1_plane_geometry(h, wd)
     ho, wo, wp, rt, hop = g.ho, g.wo, g.wp, g.rt, g.hop
     b = planes.shape[0]
@@ -234,8 +236,8 @@ def conv1_bn_relu_pallas_planes(planes, h: int, wd: int, w, scale, bias, *,
                     bias.astype(jnp.float32)]).reshape(2, 64, 1)
 
     hq, wq = planes.shape[-2:]
-    out = pl.pallas_call(
-        functools.partial(_kernel, rt=rt, wo=wo, wp=wp,
+    return pl.pallas_call(
+        functools.partial(_kernel, rt=rt, ho=ho, wo=wo, wp=wp,
                           out_dtype=jnp.bfloat16),
         out_shape=jax.ShapeDtypeStruct((b, 64, hop, wp), jnp.bfloat16),
         grid=(b, hop // rt),
@@ -260,5 +262,61 @@ def conv1_bn_relu_pallas_planes(planes, h: int, wd: int, w, scale, bias, *,
             transcendentals=0),
         interpret=interpret,
     )(planes, w2, sb)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "wd", "interpret"))
+def conv1_bn_relu_pallas_planes(planes, h: int, wd: int, w, scale, bias, *,
+                                interpret: bool = False):
+    """The pallas_call on pre-built parity planes (see module docstring).
+
+    Args:
+      planes: (B, 2, 2, 3, Hq, Wq) bf16 from pack_conv1_planes[_np](x).
+      h, wd: the ORIGINAL image dims (static; fix the geometry).
+    Returns: (B, Ho, Wo, 64) bf16.
+    """
+    g = conv1_plane_geometry(h, wd)
+    out = _conv1_cm(planes, h, wd, w, scale, bias, interpret)
     # back to NHWC, padding sliced off
-    return out[:, :, :ho, :wo].transpose(0, 2, 3, 1)
+    return out[:, :, :g.ho, :g.wo].transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "wd", "interpret"))
+def conv1_stem_pallas_planes(planes, h: int, wd: int, w, scale, bias, *,
+                             interpret: bool = False):
+    """conv1 + bn + relu + the caffe-convention stem maxpool (k3 s2 pad 0
+    CEIL mode), pooled in the kernel's CHANNELS-MAJOR layout — the NHWC
+    fix-up transpose then moves 4x fewer bytes (the `out_fix` line of the
+    conv1 attribution, ~2.7 ms/16f standalone).
+
+    Bitwise-equal to conv1_bn_relu_pallas_planes + nn.max_pool(ceil):
+    the kernel zeroes the (ho, wo) padding, post-relu values are >= 0, so
+    max over a window that spills into zero padding equals the ceil-mode
+    -inf-padded max (tests/test_pallas_conv1.py pins this).
+
+    Returns: (B, Hp, Wp, 64) bf16 with Hp = (Ho - 2) // 2 + 1.
+    """
+    g = conv1_plane_geometry(h, wd)
+    ho, wo = g.ho, g.wo
+    out = _conv1_cm(planes, h, wd, w, scale, bias, interpret)
+    pho = (ho - 2) // 2 + 1                    # caffe ceil-mode output dims
+    pwo = (wo - 2) // 2 + 1
+    # windows may read up to 2*(p-1)+3 rows/cols; the kernel's zero pad
+    # usually covers it — top up with explicit zeros when hop/wp are tight
+    pad_h = max(0, 2 * (pho - 1) + 3 - out.shape[2])
+    pad_w = max(0, 2 * (pwo - 1) + 3 - out.shape[3])
+    if pad_h or pad_w:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
+    pooled = jax.lax.reduce_window(
+        out, jnp.asarray(0.0, out.dtype), jax.lax.max,
+        window_dimensions=(1, 1, 3, 3), window_strides=(1, 1, 2, 2),
+        padding="VALID")
+    return pooled[:, :, :pho, :pwo].transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv1_stem_pallas(x, w, scale, bias, *, interpret: bool = False):
+    """Image-batch form of :func:`conv1_stem_pallas_planes`."""
+    b, h, wd, cin = x.shape
+    assert cin == 3 and w.shape == (7, 7, 3, 64)
+    return conv1_stem_pallas_planes(pack_conv1_planes(x), h, wd,
+                                    w, scale, bias, interpret=interpret)

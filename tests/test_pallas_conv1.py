@@ -102,3 +102,26 @@ def test_trunk_env_switch_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.05, atol=0.3)
+
+
+@pytest.mark.parametrize("shape", [(1, 64, 96), (2, 50, 70), (1, 47, 131)])
+def test_fused_stem_bitwise_equals_kernel_plus_maxpool(shape):
+    """conv1_stem_pallas (channels-major pool before the NHWC fix-up) is
+    BITWISE equal to conv1_bn_relu_pallas + the caffe ceil-mode maxpool:
+    post-relu values are >= 0, so pooling across the kernel's zeroed
+    padding equals the -inf ceil pad."""
+    import flax.linen as fnn
+    from i2vsgg_tpu.ops.pallas.conv1_kernel import conv1_stem_pallas
+    b, h, w_ = shape
+    rng = np.random.RandomState(6)
+    x = jnp.asarray((rng.randn(b, h, w_, 3) * 20).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+    y = conv1_bn_relu_pallas(x, w, scale, bias, interpret=True)
+    pe = [(0, 1 if d % 2 == 0 else 0) for d in y.shape[1:3]]
+    want = fnn.max_pool(y, (3, 3), strides=(2, 2), padding=pe)
+    got = conv1_stem_pallas(x, w, scale, bias, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(want, np.float32),
+                                  np.asarray(got, np.float32))

@@ -110,12 +110,22 @@ def pack_conv1_planes(x: jnp.ndarray) -> jnp.ndarray:
     return planes.transpose(0, 2, 4, 5, 1, 3)
 
 
-def pack_conv1_planes_np(x: np.ndarray) -> np.ndarray:
+def pack_conv1_planes_np(x: np.ndarray, *, native: bool = True) -> np.ndarray:
     """Numpy mirror of :func:`pack_conv1_planes` for the HOST-side loader
-    (test-pinned bit-identical — both round f32->bf16 nearest-even)."""
-    import ml_dtypes
+    (test-pinned bit-identical — both round f32->bf16 nearest-even).
+
+    Routes through the C++ packer (``runtime.pack_planes``, ~3x the numpy
+    throughput on one core and threaded on real loader hosts) when the
+    native lib builds; the numpy path is the fallback and the oracle the
+    native packer is test-pinned against (``native=False`` forces it)."""
     b, h, wd, _ = x.shape
     g = conv1_plane_geometry(h, wd)
+    if native:
+        from i2vsgg_tpu import runtime
+        out = runtime.pack_planes(np.asarray(x, np.float32), g.hq, g.wq)
+        if out is not None:
+            return out
+    import ml_dtypes
     xp = np.zeros((b, 2 * g.hq, 2 * g.wq, 3), ml_dtypes.bfloat16)
     xp[:, 3:3 + h, 3:3 + wd, :] = x.astype(ml_dtypes.bfloat16)
     planes = xp.reshape(b, g.hq, 2, g.wq, 2, 3)

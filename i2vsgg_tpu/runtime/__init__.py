@@ -88,6 +88,14 @@ def get_lib():
         lib.i2v_decode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.i2v_pack_planes.restype = ctypes.c_int
+        lib.i2v_pack_planes.argtypes = [
+            ctypes.POINTER(ctypes.c_float),             # in (B,H,W,3) f32
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,   # b, h, w
+            ctypes.c_int, ctypes.c_int,                 # hq, wq
+            ctypes.POINTER(ctypes.c_uint16),            # out planes (bf16)
+            ctypes.c_int,                               # n_threads
+        ]
         _lib = lib
         return _lib
 
@@ -130,6 +138,27 @@ def load_batch(paths: Sequence[str], flips: Sequence[bool],
         bad = [p for p, s in zip(paths, scales) if s == 0.0]
         raise RuntimeError(f"{failed} images failed to decode: {bad[:3]}")
     return images, scales, hw
+
+
+def pack_planes(x: np.ndarray, hq: int, wq: int,
+                n_threads: int = 8) -> Optional[np.ndarray]:
+    """Native conv1 parity-plane packer (the host-planes serving input
+    contract): (B, H, W, 3) f32 -> (B, 2, 2, 3, hq, wq) bf16, bit-identical
+    to ``ops.pallas.conv1_kernel.pack_conv1_planes_np`` (RNE rounding) at a
+    fraction of the numpy cost. Returns None when the native lib is
+    unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ml_dtypes
+    x = np.ascontiguousarray(x, np.float32)
+    b, h, w, c = x.shape
+    assert c == 3
+    out = np.zeros((b, 2, 2, 3, hq, wq), np.uint16)
+    lib.i2v_pack_planes(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), b, h, w, hq, wq,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_threads)
+    return out.view(ml_dtypes.bfloat16)
 
 
 def decode_image(path: str) -> np.ndarray:

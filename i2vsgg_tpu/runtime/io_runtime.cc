@@ -234,6 +234,70 @@ int i2v_load_batch(const char** paths, const uint8_t* flips, int n,
   return failed.load();
 }
 
+// Pack f32 NHWC images into conv1 parity planes (the host-planes serving
+// input contract): out[b][py][px][c][i][j] = bf16(in[b][2i+py-3][2j+px-3][c])
+// with zeros outside the image (the implicit pad-3 of the 7x7 s2 conv).
+// Layout mirrors ops/pallas/conv1_kernel.pack_conv1_planes_np BIT-FOR-BIT:
+// f32->bf16 uses round-to-nearest-even. The caller zero-initializes `out`
+// ((b, 2, 2, 3, hq, wq) uint16) so only in-image elements are written.
+static inline uint16_t f32_to_bf16_rne(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  x += 0x7fffu + ((x >> 16) & 1u);   // RNE (pixel data: no NaN concern)
+  return (uint16_t)(x >> 16);
+}
+
+int i2v_pack_planes(const float* in, int b, int h, int w,
+                    int hq, int wq, uint16_t* out, int n_threads) {
+  std::atomic<int> next(0);
+  // one task = one image; each input row is read ONCE and scattered to its
+  // 6 destination plane rows (py is fixed by the row parity; 2 px x 3 c),
+  // all walked contiguously — 1x read amplification vs 6x for the
+  // per-plane gather formulation (measured 8.3 -> ~2 ms/frame, one core)
+  const int workers = std::max(1, std::min(n_threads, b));
+  auto work = [&]() {
+    // phase 1 per row: bulk f32->bf16 into an L1-resident temp — a
+    // branch-free contiguous loop the compiler vectorizes (the scalar
+    // per-pixel convert was the bottleneck: ~6 cycles/element). phase 2:
+    // scatter bf16s from L1 (6 contiguous dst walks, stride-6 L1 reads).
+    std::vector<uint16_t> tmp(size_t(w) * 3);
+    for (;;) {
+      const int bi = next.fetch_add(1);
+      if (bi >= b) return;
+      const float* src = in + size_t(bi) * h * w * 3;
+      uint16_t* obase = out + size_t(bi) * 12 * hq * wq;
+      for (int r = 0; r < h; ++r) {
+        const int i = (r + 3) >> 1, py = (r + 3) & 1;
+        if (i >= hq) break;
+        const float* row = src + size_t(r) * w * 3;
+        const int n3 = w * 3;
+        const uint32_t* rowu = reinterpret_cast<const uint32_t*>(row);
+        for (int k = 0; k < n3; ++k) {
+          const uint32_t x = rowu[k];
+          tmp[k] = (uint16_t)((x + 0x7fffu + ((x >> 16) & 1u)) >> 16);
+        }
+        for (int px = 0; px < 2; ++px) {
+          // cols: 2j+px-3 in [0, w) -> j in [(4-px)/2, (w+2-px)/2]
+          const int j0 = (3 - px + 1) / 2;
+          int j1 = (w - 1 + 3 - px) / 2;
+          if (j1 >= wq) j1 = wq - 1;
+          for (int c = 0; c < 3; ++c) {
+            uint16_t* drow = obase + ((py * 2 + px) * 3 + c)
+                                     * size_t(hq) * wq + size_t(i) * wq;
+            const uint16_t* p = tmp.data() + (2 * j0 + px - 3) * 3 + c;
+            for (int j = j0; j <= j1; ++j, p += 6) drow[j] = *p;
+          }
+        }
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 1; t < workers; ++t) pool.emplace_back(work);
+  work();
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
 // Decode one image to a caller buffer (for probing / parity tests).
 // Returns 0 on success and writes (h, w) to out_hw; the caller then calls
 // again with a large-enough buffer. If buf_size < h*w*3 nothing is written.

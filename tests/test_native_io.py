@@ -150,3 +150,18 @@ def test_load_batch_raises_on_missing(dataset):
     with pytest.raises(RuntimeError):
         runtime.load_batch(["/nonexistent/x.jpg"], [False],
                            (0, 0, 0), 96, 100, 100)
+
+
+def test_native_pack_planes_bit_identical_to_numpy():
+    """The C++ conv1 parity-plane packer (i2v_pack_planes) matches the
+    numpy oracle bit for bit — RNE f32->bf16 and the exact plane layout —
+    across even/odd image dims (the host-planes serving contract)."""
+    from i2vsgg_tpu.ops.pallas.conv1_kernel import pack_conv1_planes_np
+    assert runtime.available(), runtime.build_error()
+    rng = np.random.RandomState(8)
+    for shape in [(1, 64, 96), (2, 50, 70), (1, 47, 131), (3, 33, 40)]:
+        x = (rng.randn(*shape, 3) * 25).astype(np.float32)
+        a = pack_conv1_planes_np(x, native=False)
+        b = pack_conv1_planes_np(x, native=True)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a.view(np.uint16), b.view(np.uint16))

@@ -78,6 +78,12 @@ class TestConfig:
     RPN_MIN_SIZE: int = 16
     RPN_TOP_N: int = 5000
     MAX_DETECTIONS_PER_IMAGE: int = 100   # top-100 cap in test drivers
+    # per-class NMS keep cap in the on-device decode (serve.py). 0 = tie to
+    # MAX_DETECTIONS_PER_IMAGE (the reference keeps every survivor per
+    # class, then applies only the image-level cap — a static per-class
+    # bound >= the image cap is behaviorally identical). A smaller value is
+    # a SERVING capacity cut; gate it with tools/capacity_ab.py rows.
+    MAX_PER_CLASS: int = 0
 
 
 @dataclass(frozen=True)

@@ -130,9 +130,13 @@ def main(argv=None):
              # round-3 verdict item 5 gates that cut on quality here
              (1024, 128, 8), (6000, 300, 8)]
     if args.rows:
+        # pre:post:det or pre:post:det:mpc (mpc = per-class NMS keep cap,
+        # TEST.MAX_PER_CLASS; 0/absent ties it to max_det)
         sweep = [tuple(int(x) for x in row.split(":"))
                  for row in args.rows.split(",")]
-    for pre_nms, rpn_topn, max_det in sweep:
+    for row in sweep:
+        pre_nms, rpn_topn, max_det = row[:3]
+        mpc = row[3] if len(row) > 3 else 0
         t0 = time.time()
         aps = eval_main([
             "--dataset", args.dataset, "--net", args.net, "--bs", "1",
@@ -145,8 +149,10 @@ def main(argv=None):
             "--cfg"] + CFG + ["TEST.RPN_POST_NMS_TOP_N", str(rpn_topn),
                               "TEST.RPN_PRE_NMS_TOP_N", str(pre_nms),
                               "TEST.MAX_DETECTIONS_PER_IMAGE",
-                              str(max_det)])
-        key = f"pre{pre_nms}_rpn{rpn_topn}_det{max_det}"
+                              str(max_det),
+                              "TEST.MAX_PER_CLASS", str(mpc)])
+        key = (f"pre{pre_nms}_rpn{rpn_topn}_det{max_det}"
+               + (f"_mpc{mpc}" if mpc else ""))
         results[key] = {"mAP": float(aps["mAP"]),
                         "eval_s": round(time.time() - t0, 1)}
         print(f"{key}: mAP {results[key]['mAP']:.4f}")

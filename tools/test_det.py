@@ -38,7 +38,8 @@ def run_detection(model, params, loader, cfg, num_classes, max_det=100):
         return decode_detections(
             out["rois"], out["roi_valid"], out["cls_prob"], out["bbox_pred"],
             im_info, cfg, max_det=max_det,
-            max_per_class=max_det, score_thresh=0.0)
+            max_per_class=cfg.TEST.MAX_PER_CLASS or max_det,
+            score_thresh=0.0)
 
     @jax.jit
     def infer_u8(params, image_u8, im_info):

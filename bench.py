@@ -484,9 +484,10 @@ def main():
         int8_ok, int8_why = _gate_int8()
         det8_ok, det8_why = _gate_det8(args)
         int8t_ok, int8t_why, int8t_env, int8t_acts = _gate_int8trunk()
-        rpn64_ok, rpn64_why = _gate_rpn64(args)
+        rpn64_ok, rpn64_why, rpn_gate_pre, rpn_gate_topn = \
+            _gate_rpn_capacity(args)
         log(f"auto-levers: int8 gate {int8_why}; det8 gate {det8_why}; "
-            f"int8trunk gate {int8t_why}; rpn64 gate {rpn64_why}")
+            f"int8trunk gate {int8t_why}; rpn-capacity gate {rpn64_why}")
         lever_md = 8 if (det8_ok or rpn64_ok) else 16
         if ((int8_ok or det8_ok or int8t_ok or rpn64_ok)
                 and levers_timeboxed("levered")):
@@ -528,14 +529,16 @@ def main():
                 det2, cfg_l = det, cfg
                 rpn_l, pre_l = args.rpn_topn, args.pre_nms
                 if rpn64_ok:
-                    # serving capacity rpn64/pre512: halves the align +
-                    # layer4 + head line (the converged-ckpt A/B row
-                    # pre512_rpn64_det8 carries the quality evidence)
+                    # gated serving rpn capacity: the align + layer4 +
+                    # head line is roi-proportional (the converged-ckpt
+                    # A/B row pre{P}_rpn{N}_det8 carries the quality
+                    # evidence; _gate_rpn_capacity picked the smallest
+                    # passing row)
                     from i2vsgg_tpu.config import cfg_from_list
-                    rpn_l, pre_l = 64, 512
+                    rpn_l, pre_l = rpn_gate_topn, rpn_gate_pre
                     cfg_l = cfg_from_list(
-                        ["TEST.RPN_POST_NMS_TOP_N", "64",
-                         "TEST.RPN_PRE_NMS_TOP_N", "512"], cfg)
+                        ["TEST.RPN_POST_NMS_TOP_N", str(rpn_l),
+                         "TEST.RPN_PRE_NMS_TOP_N", str(pre_l)], cfg)
                     det2 = FasterRCNN_DA(num_classes=args.num_classes,
                                          cfg=cfg_l, backbone="res101",
                                          ic=True, gc=True)
@@ -726,38 +729,70 @@ def _gate_int8trunk(path="runs/quant_trunk_ab", tol=0.01):
             else (False, why, None, None))
 
 
+_RPN_ROWS = ((256, 32), (384, 48), (512, 64))  # smallest capacity first
+
+
+def _gate_rpn_capacity(args,
+                       paths=("runs/capacity_ab_r64b/capacity_ab.json",
+                              "runs/capacity_ab_r64/capacity_ab.json"),
+                       tol=0.01, rows=_RPN_ROWS):
+    """Pick the SMALLEST gated serving rpn capacity. A candidate row
+    pre{P}_rpn{N}_det8 passes when a converged-checkpoint capacity A/B
+    artifact (tools/capacity_ab.py --ckpt) shows it within `tol` mAP of
+    the pre1024_rpn128_det16 reference row in the SAME artifact (the
+    quality bar is the FULL default capacity, not a softer det8
+    baseline; the base row doubles as a determinism check — a converged
+    ckpt evaluates ~0.28, ~0 means the eval itself was broken).
+    Live-chip value: the rpn (+5.7 ms/32f) and det-head (+11.6) dissect
+    lines are roi-proportional (PERF.md round 4), so each halving of the
+    roi count returns real budget."""
+    import os
+    best = None           # (pre, topn, mAP, base_mAP, path)
+    notes = []
+    for path in paths:
+        if not os.path.exists(path):
+            notes.append(f"{path} missing")
+            continue
+        try:
+            with open(path) as f:
+                r = json.load(f)["results"]
+        except Exception as e:  # noqa: BLE001
+            notes.append(f"{path} unreadable ({e!r})")
+            continue
+        kbase = f"pre{args.pre_nms}_rpn{args.rpn_topn}_det16"
+        if kbase not in r:
+            notes.append(f"{path}: {kbase} missing")
+            continue
+        base = r[kbase]["mAP"]
+        if base < _GATE_FLOOR:
+            notes.append(f"{path}: VOID (base row mAP {base:.4f} below "
+                         f"sanity floor {_GATE_FLOOR} — broken eval?)")
+            continue
+        for pre, topn in rows:
+            k = f"pre{pre}_rpn{topn}_det8"
+            if k not in r:
+                continue
+            if r[k]["mAP"] >= base - tol:
+                if best is None or pre < best[0]:
+                    best = (pre, topn, r[k]["mAP"], base, path)
+                break     # rows are smallest-first: first pass is best
+            notes.append(f"{k} FAIL ({r[k]['mAP']:.4f} vs {base:.4f})")
+    if best is not None:
+        pre, topn, m, base, path = best
+        return True, (f"PASS (rpn{topn}/pre{pre}/det8 mAP {m:.4f} vs "
+                      f"default {base:.4f}; {path})"), pre, topn
+    why = ("FAIL/NOT RUN (" + "; ".join(notes) + ")") if notes \
+        else "NOT RUN (no artifacts)"
+    return False, why, 512, 64
+
+
 def _gate_rpn64(args, path="runs/capacity_ab_r64/capacity_ab.json",
                 tol=0.01):
-    """Serving capacity rpn64/pre512 passes when the converged-checkpoint
-    capacity A/B has a pre512_rpn64_det8 row within `tol` mAP of the
-    pre1024_rpn128_det16 reference row (the quality bar is the FULL
-    default capacity, not a softer det8 baseline). Live-chip value:
-    ~-4.3 ms/step at b16 (PERF.md round 4 — align + layer4 + heads run
-    on half the rois, proposal NMS on half the candidates)."""
-    import os
-    if not os.path.exists(path):
-        return False, f"NOT RUN ({path} missing)"
-    try:
-        with open(path) as f:
-            r = json.load(f)["results"]
-        k64 = "pre512_rpn64_det8"
-        kbase = f"pre{args.pre_nms}_rpn{args.rpn_topn}_det16"
-        if k64 not in r or kbase not in r:
-            return False, f"rows missing ({k64} vs {kbase})"
-        if r[kbase]["mAP"] < _GATE_FLOOR:
-            # the base row doubles as a determinism check: a converged
-            # ckpt evaluates ~0.28; ~0 means the eval itself was broken
-            # (e.g. the r5b run built a res101 model on the res50 ckpt
-            # and restore_intersection silently left the trunk random)
-            return False, (f"VOID (base row mAP {r[kbase]['mAP']:.4f} "
-                           f"below sanity floor {_GATE_FLOOR} — "
-                           "broken eval?)")
-        ok = r[k64]["mAP"] >= r[kbase]["mAP"] - tol
-        return ok, (f"{'PASS' if ok else 'FAIL'} "
-                    f"(mAP rpn64/pre512/det8 {r[k64]['mAP']:.4f} vs "
-                    f"default {r[kbase]['mAP']:.4f})")
-    except Exception as e:  # noqa: BLE001
-        return False, f"unreadable ({e!r})"
+    """Back-compat single-row form of `_gate_rpn_capacity` (rpn64/pre512
+    against one artifact) — kept because tests pin its contract."""
+    ok, why, _, _ = _gate_rpn_capacity(args, paths=(path,), tol=tol,
+                                       rows=((512, 64),))
+    return ok, why
 
 
 def _gate_det8(args, path="runs/capacity_ab_r4/capacity_ab.json", tol=0.01):

@@ -184,3 +184,55 @@ def test_rpn64_gate_compares_against_full_default_capacity(bench, tmp_path):
         "pre512_rpn64_det8": {"mAP": 0.244}}}))
     assert not bench._gate_rpn64(_args(), str(p))[0]
     assert not bench._gate_rpn64(_args(), str(tmp_path / "no.json"))[0]
+
+
+def test_rpn_capacity_gate_picks_smallest_passing_row(bench, tmp_path):
+    a = tmp_path / "a.json"
+    a.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre256_rpn32_det8": {"mAP": 0.230},   # fails tol 0.01
+        "pre384_rpn48_det8": {"mAP": 0.243},   # smallest PASSING
+        "pre512_rpn64_det8": {"mAP": 0.249},
+    }}))
+    ok, why, pre, topn = bench._gate_rpn_capacity(_args(), paths=(str(a),))
+    assert ok and (pre, topn) == (384, 48) and "PASS" in why
+
+    # the failing rpn32 row is recorded in the why string of a
+    # no-pass artifact set
+    b = tmp_path / "b.json"
+    b.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre256_rpn32_det8": {"mAP": 0.200},
+    }}))
+    ok, why, pre, topn = bench._gate_rpn_capacity(_args(), paths=(str(b),))
+    assert not ok and "FAIL" in why and (pre, topn) == (512, 64)
+
+
+def test_rpn_capacity_gate_takes_best_across_artifacts(bench, tmp_path):
+    a = tmp_path / "a.json"   # newer artifact: rpn32 passes
+    a.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre256_rpn32_det8": {"mAP": 0.246},
+    }}))
+    b = tmp_path / "b.json"   # older artifact: only rpn64 passes
+    b.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre512_rpn64_det8": {"mAP": 0.249},
+    }}))
+    ok, why, pre, topn = bench._gate_rpn_capacity(
+        _args(), paths=(str(b), str(a)))
+    assert ok and (pre, topn) == (256, 32)
+
+    # a VOID base row (broken eval) poisons only its own artifact
+    a.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.001},
+        "pre256_rpn32_det8": {"mAP": 0.001},
+    }}))
+    ok, why, pre, topn = bench._gate_rpn_capacity(
+        _args(), paths=(str(b), str(a)))
+    assert ok and (pre, topn) == (512, 64) and "PASS" in why
+
+    # missing artifacts alone -> not run, default capacity returned
+    ok, why, pre, topn = bench._gate_rpn_capacity(
+        _args(), paths=(str(tmp_path / "no.json"),))
+    assert not ok and (pre, topn) == (512, 64)

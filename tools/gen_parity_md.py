@@ -264,20 +264,26 @@ def _round4_sections(lines):
             pre, rpn, det = (p[3:] for p in key.split("_"))
             lines.append(f"| {pre} | {rpn} | {det} | {_fmt(m['mAP'], 4)} |")
         lines.append("")
-    cap64 = _load("runs/capacity_ab_r64/capacity_ab.json")
-    if cap64.get("results"):
+    for path, title in (
+            ("runs/capacity_ab_r64/capacity_ab.json",
+             "rpn64/pre512 serving-capacity re-gate "
+             "(retrained converged ckpt)"),
+            ("runs/capacity_ab_r64b/capacity_ab.json",
+             "rpn32/48 serving-capacity gate rows "
+             "(bench auto-lever candidates, smallest PASSing row wins)")):
+        cap64 = _load(path)
+        if not cap64.get("results"):
+            continue
         lines += [
-            "### rpn64/pre512 serving-capacity re-gate "
-            "(retrained converged ckpt)", "",
+            f"### {title}", "",
             f"`{cap64.get('ckpt_dir', '?')}/{cap64.get('step', '?')}` "
             "re-evaluated after the checkpoint GC+deterministic retrain "
             "(PARITY.md round-4 postmortem). The full-capacity base row "
             "doubles as the determinism check — it must bit-reproduce "
-            "the committed 0.2843410029065319 "
-            "(`runs/capacity_ab_r64/capacity_ab.json`):", "",
+            f"the committed 0.2843410029065319 (`{path}`):", "",
             "| pre-NMS | RPN top-N | max det | mAP |", "|---|---|---|---|"]
         for key, m in cap64["results"].items():
-            pre, rpn, det = (p[3:] for p in key.split("_"))
+            pre, rpn, det = (p[3:] for p in key.split("_")[:3])
             lines.append(f"| {pre} | {rpn} | {det} | {_fmt(m['mAP'], 4)} |")
         lines.append("")
     _int8_trunk_section(lines)

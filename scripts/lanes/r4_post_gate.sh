@@ -18,11 +18,15 @@ LOG="$OUT/post_gate.log"
 PROBE="scripts/lanes/probe_chip.sh"
 GATE=runs/capacity_ab_r64b/capacity_ab.json
 
-echo "=== waiting for $GATE $(date -u +%T) ===" >>"$LOG"
-while [ ! -s "$GATE" ]; do sleep 180; done
-# let capacity_ab finish writing + the retrain lane exit
-sleep 120
-echo "=== gate artifact present $(date -u +%T) ===" >>"$LOG"
+# capacity_ab.json is written INCREMENTALLY after each row — waiting on
+# file existence fires ~25 min early (mid-evals: CPU contention + the
+# rehearsal's gate reading a partial artifact). Wait for the retrain
+# lane's terminal marker instead.
+echo "=== waiting for retrain lane done $(date -u +%T) ===" >>"$LOG"
+while ! grep -q "=== lane done" runs/capacity_ab_r64b/lane.log 2>/dev/null
+do sleep 180; done
+[ -s "$GATE" ] || { echo "retrain lane done but no $GATE — aborting" >>"$LOG"; exit 1; }
+echo "=== gate artifact complete $(date -u +%T) ===" >>"$LOG"
 python - <<'EOF' >>"$LOG" 2>&1
 import json
 r = json.load(open("runs/capacity_ab_r64b/capacity_ab.json"))["results"]

@@ -579,28 +579,37 @@ def main():
                 log(f"auto-levers: levered arm failed ({e!r}); "
                     "reporting base config")
 
-    # --- batch-32 rung: batch size is quality-neutral (throughput/chip is
-    # already per-frame) and the 8->16 step measured +6.5%; b32 has never
-    # had a live chip to measure on. Re-time the WINNING program at 2x
-    # batch — same jitted callable, new input shape triggers the compile.
+    # --- batch-doubling rung: batch size is quality-neutral (throughput
+    # is already per-frame) and larger batches amortize the per-step
+    # fixed cost until HBM pressure wins: 8->16 measured +6.5%, 16->32
+    # won on the @3x3+static stack (457.9 vs 437.0), and 32->64 lost at
+    # rpn64 (463.2 vs 467.9) but the roi tensors halve at the rpn32
+    # capacity row — so climb the WINNING program by doubling while each
+    # double wins (one retrace per arm; the first losing double, OOM, or
+    # budget exhaustion stops the climb).
     win_imgs, win_info, win_bsz = images, im_info, b
-    if (args.auto_levers and args.stage == "full" and args.batch == 16
-            and levers_timeboxed("b32")):
+    while (args.auto_levers and args.stage == "full" and args.batch == 16
+           and win_bsz < 128 and levers_timeboxed(f"b{2 * win_bsz}")):
         try:
             if args.host_planes:
-                images32 = Conv1Planes(
-                    jnp.concatenate([images.planes, images.planes], axis=0),
-                    h, w)
+                imgs2 = Conv1Planes(
+                    jnp.concatenate([win_imgs.planes, win_imgs.planes],
+                                    axis=0), h, w)
             else:
-                images32 = jnp.concatenate([images, images], axis=0)
-            im_info32 = jnp.concatenate([im_info, im_info], axis=0)
-            fps32 = time_program(winner, images32, im_info32, 2 * b)
-            log(f"auto-levers: b32 {fps32:.1f} fps vs b16 winner {fps:.1f}")
-            if fps32 > fps:
-                fps, config = fps32, config.replace("b16", "b32", 1)
-                win_imgs, win_info, win_bsz = images32, im_info32, 2 * b
+                imgs2 = jnp.concatenate([win_imgs, win_imgs], axis=0)
+            info2 = jnp.concatenate([win_info, win_info], axis=0)
+            fps2x = time_program(winner, imgs2, info2, 2 * win_bsz)
+            log(f"auto-levers: b{2 * win_bsz} {fps2x:.1f} fps vs "
+                f"b{win_bsz} winner {fps:.1f}")
+            if fps2x <= fps:
+                break
+            fps = fps2x
+            config = config.replace(f"b{win_bsz}", f"b{2 * win_bsz}", 1)
+            win_imgs, win_info, win_bsz = imgs2, info2, 2 * win_bsz
         except Exception as e:  # noqa: BLE001
-            log(f"auto-levers: b32 arm failed ({e!r}); keeping b16")
+            log(f"auto-levers: b{2 * win_bsz} arm failed ({e!r}); "
+                f"keeping b{win_bsz}")
+            break
 
     # --- host-planes rung: input-contract lever, bit-identical numerics
     # (tests/test_pallas_conv1.py, tests/test_serve.py) so no quality gate

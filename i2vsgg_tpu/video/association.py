@@ -24,11 +24,19 @@ import numpy as np
 
 
 def _iou(b1, b2) -> float:
+    """Association-time IoU, the reference's EXACT form
+    [lib/utils.py:20-31]: NO +1 pixel convention (unlike detection-eval
+    IoU and vIoU, which do use +1) and 0 on degenerate overlap. The +1
+    form is more permissive near the 0.5 both_overlap threshold and was
+    measurably changing merge decisions (caught by
+    tests/test_parity_stage_c.py's golden A/B)."""
     left, top = max(b1[0], b2[0]), max(b1[1], b2[1])
     right, bottom = min(b1[2], b2[2]), min(b1[3], b2[3])
-    inter = max(0.0, right - left + 1) * max(0.0, bottom - top + 1)
-    a1 = (b1[2] - b1[0] + 1) * (b1[3] - b1[1] + 1)
-    a2 = (b2[2] - b2[0] + 1) * (b2[3] - b2[1] + 1)
+    if left >= right or bottom <= top:
+        return 0.0
+    inter = (right - left) * (bottom - top)
+    a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+    a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
     return inter / (a1 + a2 - inter)
 
 

@@ -28,18 +28,39 @@ PARITY_CFG=(ANCHOR_SCALES "[2, 4, 8]"
             POOLING_MODE align)
 
 CKPT=runs/parity_r3/res50/MVRD/session_ref1/672
-if [ ! -d "$CKPT" ]; then
+# checkpoints live in step_%08d dirs (train/checkpoint.py) — round-4's
+# check of the LOGICAL path …/672 (which never exists on disk) declared
+# a SUCCESSFUL 2.6h retrain failed and aborted the lane
+PHYS=runs/parity_r3/res50/MVRD/session_ref1/step_00000672
+rm -f "$OUT/lane.done"
+if [ ! -d "$PHYS" ]; then
   echo "=== retrain ref_s1 (672 steps, torch CPU) $(date -u +%T) ===" >>"$LOG"
   python tools/retrain_ref_arm.py --out runs/parity_r3 --steps 672 \
     --seed 1 --snaps 288,480,576 >>"$LOG" 2>&1
   echo "rc=$? (retrain)" >>"$LOG"
 fi
-[ -d "$CKPT" ] || { echo "retrain failed — no $CKPT" >>"$LOG"; exit 1; }
+[ -d "$PHYS" ] || { echo "retrain failed — no $PHYS" >>"$LOG"; exit 1; }
 
 echo "=== capacity A/B rows $(date -u +%T) ===" >>"$LOG"
 python tools/capacity_ab.py --out "$OUT" \
   --ckpt "$CKPT" --data runs/parity_r3/data --dataset MVRD \
   --rows "1024:128:16,256:32:8,384:48:8,512:64:8" \
   --cfg "${PARITY_CFG[@]}" >>"$LOG" 2>&1
-echo "rc=$? (capacity_ab)" >>"$LOG"
-echo "=== lane done $(date -u +%T) ===" >>"$LOG"
+rc=$?; echo "rc=$rc (capacity_ab)" >>"$LOG"
+# terminal marker only on success AND a complete artifact (advisor r4:
+# lane.log markers are append-only across attempts and capacity_ab.json
+# is written incrementally per row — pollers released on stale/partial
+# state). Downstream lanes must key on $OUT/lane.done.
+if [ $rc -eq 0 ] && python - <<'EOF'
+import json, sys
+r = json.load(open("runs/capacity_ab_r64b/capacity_ab.json"))["results"]
+need = ["pre1024_rpn128_det16", "pre256_rpn32_det8",
+        "pre384_rpn48_det8", "pre512_rpn64_det8"]
+sys.exit(0 if all(k in r for k in need) else 1)
+EOF
+then
+  echo "=== lane done $(date -u +%T) ===" >>"$LOG"
+  touch "$OUT/lane.done"
+else
+  echo "=== lane INCOMPLETE (rc=$rc or missing rows) $(date -u +%T) ===" >>"$LOG"
+fi

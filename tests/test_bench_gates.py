@@ -166,6 +166,33 @@ def test_int8trunk_gate_prefers_k3_scope_and_static_acts(bench, tmp_path):
     assert ok and acts is None
 
 
+def test_int8trunk_gate_prefers_matching_net(bench, tmp_path):
+    """Among equal-rank PASSes, the artifact whose "net" matches the
+    bench backbone wins — its act-scale calibration covers every block
+    of the bench model, where a shallower net's calibration forces the
+    unit-scale fallback (round-4 verdict item 2)."""
+    c50 = tmp_path / "acts50.json"
+    c101 = tmp_path / "acts101.json"
+    c50.write_text(json.dumps({"scales": {}}))
+    c101.write_text(json.dumps({"scales": {}}))
+    # res50 artifact sorts FIRST alphabetically — without net ranking the
+    # tie would keep it and bench would quantize with a res50 calibration
+    (tmp_path / "a_res50.json").write_text(json.dumps(
+        {"mode": "sim:layer3,layer4,@3x3", "net": "res50",
+         "act_scales": str(c50),
+         "delta": {"MVRD": 0.0, "MVidVRD": 0.0}}))
+    (tmp_path / "b_res101.json").write_text(json.dumps(
+        {"mode": "sim:layer3,layer4,@3x3", "net": "res101",
+         "act_scales": str(c101),
+         "delta": {"MVRD": 0.0, "MVidVRD": 0.0}}))
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path), net="res101")
+    assert ok and env == "1:layer3,layer4,@3x3" and acts == str(c101)
+    # with the res101 artifact gone, the res50 gate still serves
+    (tmp_path / "b_res101.json").unlink()
+    ok, why, env, acts = bench._gate_int8trunk(str(tmp_path), net="res101")
+    assert ok and acts == str(c50)
+
+
 def test_rpn64_gate_compares_against_full_default_capacity(bench, tmp_path):
     p = tmp_path / "capacity_ab.json"
     p.write_text(json.dumps({"results": {

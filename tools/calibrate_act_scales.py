@@ -51,7 +51,11 @@ def main(argv=None):
     ap.add_argument("--net", default="res50")
     ap.add_argument("--n_images", type=int, default=64)
     ap.add_argument("--bs", type=int, default=4)
-    ap.add_argument("--json", default="runs/quant_trunk_ab/act_scales.json")
+    # default OUTSIDE runs/quant_trunk_ab: bench.py::_gate_int8trunk
+    # globs that dir for A/B artifacts, and a calibration JSON parked
+    # there reads as "incomplete A/B" in the gate tail (round-4 verdict
+    # weakness #1)
+    ap.add_argument("--json", default="runs/calib/act_scales.json")
     ap.add_argument("--cfg", nargs="*", default=[])
     ap.add_argument("--data", default="runs/parity_r3/data")
     args = ap.parse_args(argv)

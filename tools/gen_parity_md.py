@@ -264,23 +264,39 @@ def _round4_sections(lines):
             pre, rpn, det = (p[3:] for p in key.split("_"))
             lines.append(f"| {pre} | {rpn} | {det} | {_fmt(m['mAP'], 4)} |")
         lines.append("")
-    for path, title in (
+    # the determinism-baseline citation is pinned to the r64 artifact —
+    # the committed 0.2843410029065319 lives THERE regardless of which
+    # section is being rendered (advisor r4: the shared body previously
+    # credited it to whichever path was current)
+    det_note = ("re-evaluated after the checkpoint GC+deterministic "
+                "retrain (PARITY.md round-4 postmortem). The "
+                "full-capacity base row doubles as the determinism check "
+                "— it must bit-reproduce the value committed in "
+                "`runs/capacity_ab_r64/capacity_ab.json` "
+                "(0.2843410029065319):")
+    r101_note = ("— a FRESH res101-form arm (tools/train_gate_arm.py; "
+                 "no retrain-determinism claim), evaluated at the "
+                 "parity 240-scale config. Architecture matches the "
+                 "bench/serving program (round-4 verdict item 2):")
+    for path, title, note in (
             ("runs/capacity_ab_r64/capacity_ab.json",
              "rpn64/pre512 serving-capacity re-gate "
-             "(retrained converged ckpt)"),
+             "(retrained converged ckpt)", det_note),
             ("runs/capacity_ab_r64b/capacity_ab.json",
              "rpn32/48 serving-capacity gate rows "
-             "(bench auto-lever candidates, smallest PASSing row wins)")):
+             "(bench auto-lever candidates, smallest PASSing row wins)",
+             det_note),
+            ("runs/capacity_ab_r101/capacity_ab.json",
+             "res101 serving-capacity gate rows "
+             "(matching-architecture arm, smallest PASSing row wins)",
+             r101_note)):
         cap64 = _load(path)
         if not cap64.get("results"):
             continue
         lines += [
             f"### {title}", "",
             f"`{cap64.get('ckpt_dir', '?')}/{cap64.get('step', '?')}` "
-            "re-evaluated after the checkpoint GC+deterministic retrain "
-            "(PARITY.md round-4 postmortem). The full-capacity base row "
-            "doubles as the determinism check — it must bit-reproduce "
-            f"the committed 0.2843410029065319 (`{path}`):", "",
+            f"{note}", "",
             "| pre-NMS | RPN top-N | max det | mAP |", "|---|---|---|---|"]
         for key, m in cap64["results"].items():
             pre, rpn, det = (p[3:] for p in key.split("_")[:3])

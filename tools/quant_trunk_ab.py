@@ -96,7 +96,10 @@ def main(argv=None):
 
     ckpt = args.ckpt
     datasets = [args.dataset] + ([args.dataset_t] if args.dataset_t else [])
-    results = {"ckpt": ckpt, "mode": args.mode,
+    # "net" travels in the artifact so bench.py::_gate_int8trunk can
+    # prefer a gate whose architecture MATCHES the bench model (round-4
+    # verdict weakness #2: res50 gates were blessing a res101 program)
+    results = {"ckpt": ckpt, "mode": args.mode, "net": args.net,
                "ckpt_fingerprint": _ckpt_fingerprint(ckpt)}
     if args.act_scales:
         # recorded so bench.py's _gate_int8trunk can serve the SAME

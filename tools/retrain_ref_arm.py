@@ -57,18 +57,15 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_default_matmul_precision", "float32")
 
-    from tools.parity_run import make_data, train_reference
+    from tools.parity_run import train_reference
+    from tools.train_gate_arm import ensure_parity_data
 
     data_root = args.data or os.path.join(args.out, "data")
-    if not os.path.isdir(os.path.join(data_root, "MVRD")):
-        # the round-3 campaign's exact generation parameters
-        # (PARITY_RUNS.md setup: 48/252 source split, 20 videos x 24
-        # frames at 10/10) — make_data seeds every RNG, so this is
-        # bit-identical to the original
-        make_data(data_root, n_source=300, source_split=0.16,
-                  n_target=20, target_split=0.5, video_target=True,
-                  n_frames=24, hard_videos=False)
-        print(f"parity dataset regenerated -> {data_root}", flush=True)
+    # regenerates bit-identically when absent; fails fast on a PARTIAL
+    # data dir (advisor r4: MVRD surviving a VM reset while MVidVRD /
+    # source_so_prior.pkl are gone must not silently train on a
+    # mismatched mixture)
+    ensure_parity_data(data_root)
     os.environ["I2VSGG_DATA_ROOT"] = data_root
 
     snaps = tuple(int(s) for s in args.snaps.split(",") if s)

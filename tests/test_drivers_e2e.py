@@ -238,6 +238,51 @@ def test_serve_video_driver(fixture_env, workdir):
     assert isinstance(rels_p, dict)
 
 
+def test_serve_video_multichip_mesh(fixture_env, workdir):
+    """N-chip serving end to end (round-4 verdict item 5): the SAME
+    driver shards frame batches over the 8-device mesh (ragged tail
+    batches row-padded), gathers packed tuples, associates on host.
+    Tuple counts and association output must match the single-device
+    run of test_serve_video_driver (the fused program is
+    batch-row-independent; sharding only partitions rows)."""
+    from tools.serve_video import main
+    det_ck = _latest_ckpt(workdir, "res10", "MVRD", "session_1")
+    sgg_ck = _latest_ckpt(workdir, "res10", "MVRD_SGG", "session_1")
+    common = ["--dataset", "MVidVRD", "--net", "res10",
+              "--ic", "--gc",
+              "--num_relations", str(fixture_env["n_rel"]),
+              "--compute_dtype", "float32",
+              "--save_dir", workdir,
+              "--load_name", _step_arg(det_ck),
+              "--sgg_load_name", _step_arg(sgg_ck),
+              "--max_det", "6"] + TINY_CFG + SGG_TINY
+    rels_1 = main(["--bs", "2"] + common)
+    out = os.path.join(workdir, "serve", "MVidVRD_test",
+                       "frame_detections.json")
+    fd_1 = json.load(open(out))
+
+    rels_8 = main(["--bs", "8", "--mesh", "8"] + common)
+    fd_8 = json.load(open(out))
+    assert set(fd_8) == set(fd_1)
+    for vid in fd_1:
+        frames_1 = {f: t for f, t in fd_1[vid]}
+        frames_8 = {f: t for f, t in fd_8[vid]}
+        assert set(frames_8) == set(frames_1)
+        for f in frames_1:
+            assert len(frames_8[f]) == len(frames_1[f]), (vid, f)
+    assert {v: len(r) for v, r in rels_8.items()} == \
+        {v: len(r) for v, r in rels_1.items()}
+
+    # bucketed two-program serving form (round-4 verdict item 6) on the
+    # mesh: exactness of bucketing is pinned by tests/test_serve.py;
+    # here the driver-level wiring must keep the schema and counts
+    rels_b = main(["--bs", "8", "--mesh", "8", "--buckets", "2,6"]
+                  + common)
+    fd_b = json.load(open(out))
+    assert set(fd_b) == set(fd_1)
+    assert isinstance(rels_b, dict)
+
+
 def test_stage_b_recognition_task(fixture_env, workdir):
     """vrd_task=pre_det: recognition Accuracy@1/5 via GT pairs + so-prior."""
     from tools.test_sgg import main

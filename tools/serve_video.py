@@ -8,9 +8,17 @@ predicate scoring, ``i2vsgg_tpu/serve.py``), frames shard across the chip
 mesh (video-axis data parallelism), and only packed tuples land on host for
 association into video-relation trajectories.
 
+Contrast with the reference's serving loop (``test_net_SGG_emb.py:158-289``):
+one GPU, one frame per step, detections round-tripped through host numpy
+between the detector and the relation head. Here ``--mesh N`` spreads each
+frame batch across N chips (params replicated, XLA partitions the fused
+program; ragged tail batches are row-padded) and ``--buckets`` serves the
+two-program detection-count-bucketed form (``serve.make_bucketed_program``).
+
 Usage:
   python tools/serve_video.py --dataset MVidVRD --net res101 \
-      --load_name <det ckpt> --sgg_load_name <sgg ckpt> [--bs 8]
+      --load_name <det ckpt> --sgg_load_name <sgg ckpt> [--bs 8] \
+      [--mesh 8] [--buckets 4,8,16]
 """
 
 from __future__ import annotations
@@ -35,6 +43,25 @@ def main(argv=None):
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--sgg_load_name", default="")
     extra.add_argument("--max_det", default=16, type=int)
+    extra.add_argument("--mesh", default=0, type=int,
+                       help="shard each frame batch over an N-device "
+                            "(data, model) mesh — video-axis data "
+                            "parallelism for the serving path (the "
+                            "reference serves one GPU, one frame at a "
+                            "time: test_net_SGG_emb.py:158-289). Params "
+                            "replicate; XLA partitions the fused program "
+                            "per chip; only packed tuples land on host. "
+                            "--bs must be a multiple of N")
+    extra.add_argument("--buckets", default="",
+                       help="comma-separated detection-count buckets "
+                            "(e.g. '4,8,16') — serve with the bucketed "
+                            "two-program form (serve.make_bucketed_"
+                            "program): per batch, the smallest SGG pair "
+                            "program covering the batch's max detection "
+                            "count runs. Exact (only padding differs); "
+                            "wins when typical frames carry few "
+                            "detections. Default: single fused program "
+                            "at --max_det")
     extra.add_argument("--bf16_weights", action="store_true",
                        help="store serving weights in bf16 (halves weight "
                             "streaming; FrozenBatchNorm statistics and the "
@@ -170,8 +197,32 @@ def main(argv=None):
         sgg_params = quantize_dense_params(sgg_params)
     sgg_params = jax.device_put(sgg_params)   # commit once
 
-    program = make_frame_program(det, det_params, sgg, sgg_params, prd_np,
-                                 cfg, max_det=md)
+    import contextlib
+    mesh_ctx = contextlib.nullcontext()
+    mesh = None
+    if ns.mesh:
+        from i2vsgg_tpu.parallel.mesh import make_mesh, replicate
+        assert args.batch_size % ns.mesh == 0, \
+            f"--bs {args.batch_size} must be a multiple of --mesh {ns.mesh}"
+        mesh = make_mesh(ns.mesh)
+        # params replicate onto every chip ONCE; each batch's frames then
+        # shard over the data axis and XLA partitions the fused program
+        det_params = replicate(det_params, mesh)
+        sgg_params = replicate(sgg_params, mesh)
+        mesh_ctx = mesh
+        print(f"serving over {ns.mesh}-device mesh "
+              f"(data-parallel frame batches of {args.batch_size})")
+
+    if ns.buckets:
+        from i2vsgg_tpu.serve import make_bucketed_program
+        buckets = tuple(int(b) for b in ns.buckets.split(","))
+        assert buckets[-1] == md or md in buckets, \
+            f"--max_det {md} must be the largest bucket (got {buckets})"
+        program = make_bucketed_program(det, det_params, sgg, sgg_params,
+                                        prd_np, cfg, buckets=buckets)
+    else:
+        program = make_frame_program(det, det_params, sgg, sgg_params,
+                                     prd_np, cfg, max_det=md)
     img_key = "image"
     if ns.host_planes:
         assert not args.uint8_upload, \
@@ -192,12 +243,27 @@ def main(argv=None):
     t0 = time.time()
     done = 0
     for batch in loader:
+        raw = np.asarray(batch["image" if ns.host_planes else img_key])
+        info_np = np.asarray(batch["im_info"])
+        if mesh is not None and raw.shape[0] % ns.mesh:
+            # ragged tail batch: pad rows to the mesh multiple (the
+            # padded frames' tuples are dropped by the indices loop)
+            pad = -raw.shape[0] % ns.mesh
+            raw = np.concatenate([raw, np.repeat(raw[-1:], pad, 0)], 0)
+            info_np = np.concatenate(
+                [info_np, np.repeat(info_np[-1:], pad, 0)], 0)
         if ns.host_planes:
             from i2vsgg_tpu.ops.pallas.conv1_kernel import Conv1Planes
-            imgs = Conv1Planes.pack(np.asarray(batch["image"], np.float32))
+            imgs = Conv1Planes.pack(raw.astype(np.float32))
         else:
-            imgs = jnp.asarray(batch[img_key])
-        out = jax.device_get(program(imgs, jnp.asarray(batch["im_info"])))
+            imgs = jnp.asarray(raw)
+        info = jnp.asarray(info_np)
+        if mesh is not None:
+            from i2vsgg_tpu.parallel.mesh import shard_batch
+            sharded = shard_batch({"image": imgs, "im_info": info}, mesh)
+            imgs, info = sharded["image"], sharded["im_info"]
+        with mesh_ctx:
+            out = jax.device_get(program(imgs, info))
         for bi, ridx in enumerate(batch["indices"]):
             index = os.path.splitext(os.path.basename(
                 roidb[int(ridx)]["image"]))[0]

@@ -74,10 +74,18 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    # identical runtime config to parity_run.main: CPU platform,
-    # persistent compile cache, fp32 matmuls
-    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
-    jax.config.update("jax_platforms", "cpu")
+    # identical runtime config to parity_run.main: CPU platform unless
+    # I2VSGG_PARITY_TPU=1 (the gate arm has NO torch-reference twin, so
+    # nothing ties it to the CPU — on the chip the 288-step train is
+    # minutes instead of hours), persistent compile cache, fp32 matmuls
+    if os.environ.get("I2VSGG_PARITY_TPU") != "1":
+        os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # keep the host CPU backend registered alongside the chip: the
+        # driver inits params there (eager ops through the tunnel are
+        # ~one RPC each) and device_puts once
+        jax.config.update("jax_platforms", "axon,cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_default_matmul_precision", "float32")

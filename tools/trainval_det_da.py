@@ -69,6 +69,21 @@ def main(argv=None):
     model = FasterRCNN_DA(num_classes=len(imdb_s.classes), cfg=cfg,
                           backbone=args.net, class_agnostic=args.class_agnostic,
                           ic=args.ic, gc=args.gc)
+    # Param/optimizer init runs EAGERLY (op by op). On the axon TPU
+    # backend every eager op is a remote round trip through the tunnel —
+    # a res101 init sits for tens of minutes doing thousands of tiny
+    # RPCs (measured: ~zero CPU, no progress). Pin the default device to
+    # the host CPU backend for the whole setup phase; `replicate(state,
+    # mesh)` below device_puts the finished tree onto the mesh in one
+    # shot (same trick as bench.py's CPU-twin init).
+    cpu_init = None
+    if jax.default_backend() != "cpu":
+        try:
+            cpu_init = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu_init = None
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", cpu_init)
     key = jax.random.PRNGKey(cfg.RNG_SEED)
     dummy = {
         "image": jnp.zeros((bs, 128, 160, 3), jnp.float32),
@@ -162,6 +177,8 @@ def main(argv=None):
         print(f"multi-host: {jax.process_count()} processes, "
               f"{len(jax.devices())} global devices, "
               f"global batch {global_bs}")
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", None)
     state = replicate(state, mesh)
     train_step = make_train_step(model, tx, eta=args.eta,
                                  eta_style=args.eta_style,

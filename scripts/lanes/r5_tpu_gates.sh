@@ -43,8 +43,13 @@ python tools/capacity_ab.py --out "$GOUT" --net res101 \
 rc=$?; echo "rc=$rc (capacity_ab)" >>"$LOG"
 [ $rc -eq 0 ] && touch "$GOUT/capacity.done"
 
-echo "=== act-scale calibration (res101, TPU) $(date -u +%T) ===" >>"$LOG"
-python tools/calibrate_act_scales.py --ckpt "$CKPT" --dataset MVRD \
+echo "=== act-scale calibration (res101, CPU pass) $(date -u +%T) ===" >>"$LOG"
+# calibration runs the model EAGERLY (mutable intermediates, no jit) —
+# per-op tunnel RPCs on the chip; one 64-image fp pass on the host CPU
+# is ~5 min and the scales are calibration constants either way (their
+# serving effect is then measured ON the chip by the quant A/B)
+I2VSGG_PARITY_TPU= python tools/calibrate_act_scales.py --ckpt "$CKPT" \
+  --dataset MVRD \
   --net res101 --n_images 64 --json runs/calib/act_scales_res101.json \
   --data "$OUT/data" --cfg "${PARITY_CFG[@]}" >>"$LOG" 2>&1
 rc=$?; echo "rc=$rc (calibrate)" >>"$LOG"

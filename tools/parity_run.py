@@ -618,9 +618,13 @@ def train_ours_sgg(data_root, out_dir, steps, seed=0):
     return _ours_sgg_score_fn(ckpt_dir)
 
 
-def _ours_sgg_score_fn(ckpt_dir):
+def _ours_sgg_score_fn(ckpt_dir, raw=False):
     """Build the per-frame predicate-scoring closure from a trained
-    ours-arm SGG checkpoint directory (tail of train_ours_sgg)."""
+    ours-arm SGG checkpoint directory (tail of train_ours_sgg).
+
+    raw=True returns the cosine logits instead of their softmax — the
+    Stage-B calibration study (tools/stage_b_rescore.py) applies score
+    transforms on the host; the PARITY protocol remains softmax."""
     import jax
     import jax.numpy as jnp
     from i2vsgg_tpu.models.backbones import ResNetTrunk
@@ -654,7 +658,8 @@ def _ours_sgg_score_fn(ckpt_dir):
     def _score(params, im, info, boxes, ix1, ix2, pv):
         out = model.apply({"params": params}, im, info, boxes,
                           jnp.zeros((GB,), jnp.int32), ix1, ix2, pv, prd)
-        return jax.nn.softmax(out["scores"], -1)
+        s = out["scores"]
+        return s if raw else jax.nn.softmax(s, -1)
 
     def score_fn(index, im, scale, boxes, pairs):
         n, p = len(boxes), len(pairs)

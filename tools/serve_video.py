@@ -110,6 +110,17 @@ def main(argv=None):
     md = ns.max_det
     dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
 
+    # eager init on the axon backend is one tunnel RPC per op (minutes
+    # for a res101 — tools/trainval_det_da.py has the measurement); pin
+    # setup to the host CPU backend, then device_put once
+    cpu_init = None
+    if jax.default_backend() != "cpu":
+        try:
+            cpu_init = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu_init = None
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", cpu_init)
     det = FasterRCNN_DA(num_classes=len(imdb.classes), cfg=cfg,
                         backbone=args.net,
                         class_agnostic=args.class_agnostic,
@@ -148,7 +159,7 @@ def main(argv=None):
         print(f"static act scales: {args.act_scales} (scope {scope!r})")
     else:
         os.environ.pop("I2VSGG_INT8_PREQ_SIM", None)
-    det_params = jax.device_put(det_params)   # commit once
+    det_params = jax.device_put(det_params, jax.devices()[0])  # commit once
 
     # the head must be built with the SAME pooling the SGG weights were
     # trained on (fc6/fc7 trained on quantized max-RoIPool features are NOT
@@ -195,7 +206,9 @@ def main(argv=None):
         # in-program otherwise — tools/sgg_dissect.py; bit-identical taps)
         from i2vsgg_tpu.utils.params import quantize_dense_params
         sgg_params = quantize_dense_params(sgg_params)
-    sgg_params = jax.device_put(sgg_params)   # commit once
+    sgg_params = jax.device_put(sgg_params, jax.devices()[0])  # commit once
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", None)
 
     import contextlib
     mesh_ctx = contextlib.nullcontext()

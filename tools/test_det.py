@@ -121,6 +121,17 @@ def main(argv=None):
                           backbone=args.net,
                           class_agnostic=args.class_agnostic,
                           ic=args.ic, gc=args.gc)
+    # eager init on the axon backend is one tunnel RPC per op (minutes
+    # for a res101 — tools/trainval_det_da.py has the measurement); pin
+    # setup to the host CPU backend, then device_put once below
+    cpu_init = None
+    if jax.default_backend() != "cpu":
+        try:
+            cpu_init = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu_init = None
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", cpu_init)
     params = model.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((1, 128, 160, 3), jnp.float32),
                         jnp.asarray([[128, 160, 1.0]], jnp.float32),
@@ -161,7 +172,11 @@ def main(argv=None):
         os.environ.pop("I2VSGG_INT8_PREQ_SIM", None)
     # restored params are HOST numpy — commit once, or every jitted batch
     # re-uploads the full ~100MB param tree (measured 6.7 s/batch)
-    params = jax.device_put(params)
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", None)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        params = jax.device_put(params)
 
     n = len(roidb)
     all_boxes = [[np.empty((0, 5), np.float32) for _ in range(n)]

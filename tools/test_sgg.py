@@ -112,6 +112,17 @@ def main(argv=None):
                                  pooling=vrd_pooling,
                                  int8_fc=args.int8_fc6),
                      n_rel=n_rel)
+    # eager init on the axon backend is one tunnel RPC per op (minutes —
+    # tools/trainval_det_da.py has the measurement); pin setup to the
+    # host CPU backend, then device_put once
+    cpu_init = None
+    if jax.default_backend() != "cpu":
+        try:
+            cpu_init = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu_init = None
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", cpu_init)
     z = jnp.zeros
     params = model.init(
         {"params": jax.random.PRNGKey(0)},
@@ -124,8 +135,10 @@ def main(argv=None):
         step = int(os.path.basename(args.load_name))
         params = restore_intersection(ckpt_dir, step, params)
         print(f"loaded {args.load_name}")
-    params = jax.device_put(params)   # commit once (host numpy would
-                                      # re-upload per jitted call)
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", None)
+    params = jax.device_put(params, jax.devices()[0])
+    # commit once (host numpy would re-upload per jitted call)
 
     frame_map = None
     if args.frame_map and os.path.exists(args.frame_map):

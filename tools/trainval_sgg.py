@@ -106,6 +106,17 @@ def main(argv=None):
                                  fc_dim=args.vrd_fc_dim,
                                  pooling=args.vrd_pooling),
                      n_rel=n_rel)
+    # eager param/opt init on the axon backend is one tunnel RPC per op
+    # (tools/trainval_det_da.py has the measurement) — pin setup to the
+    # host CPU backend; replicate() ships the tree to the mesh in one put
+    cpu_init = None
+    if jax.default_backend() != "cpu":
+        try:
+            cpu_init = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu_init = None
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", cpu_init)
     z = jnp.zeros
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -130,6 +141,8 @@ def main(argv=None):
 
     tx = sgg_optimizer(schedule, cfg)
     state = create_train_state(params, tx)
+    if cpu_init is not None:
+        jax.config.update("jax_default_device", None)
     # data axis must divide the global batch; default to the largest
     # device count that does
     import math

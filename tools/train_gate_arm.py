@@ -61,6 +61,48 @@ def ensure_parity_data(data_root: str):
         print(f"parity dataset regenerated -> {data_root}", flush=True)
 
 
+BENCH600_CFG = ["ANCHOR_SCALES", "[4, 8, 16]",
+                "TRAIN.SCALES", "[600]", "TEST.SCALES", "[600]",
+                "TRAIN.RPN_PRE_NMS_TOP_N", "6000",
+                "TRAIN.RPN_POST_NMS_TOP_N", "256",
+                "TRAIN.RPN_POST_NMS_TOP_N_TARGET", "128",
+                "TEST.RPN_PRE_NMS_TOP_N", "6000",
+                "POOLING_MODE", "align"]
+
+
+def ensure_bench600_data(data_root: str):
+    """600-short-side learnable corpus at the bench's serving scale
+    (tools/capacity_ab.py's geometry: cfgs/res101.yml anchors)."""
+    from tests.fixtures import make_learnable_dataset
+    required = [os.path.join(data_root, "MVRD"),
+                os.path.join(data_root, "MVidVRD"),
+                os.path.join(data_root, "MVidVRD", "source_so_prior.pkl")]
+    missing = [p for p in required if not os.path.exists(p)]
+    if missing and len(missing) < len(required):
+        raise SystemExit(f"partial data root {data_root}: missing "
+                         f"{missing} — delete and rerun")
+    if not missing:
+        return
+    os.makedirs(data_root, exist_ok=True)
+    make_learnable_dataset(data_root, "MVRD", 200, ".jpg", seed=11,
+                           hw=(600, 800), split_frac=0.4,
+                           min_obj=2, max_obj=6, size_range=(60, 220))
+    # target sized so steps-per-epoch = min(source, target) stays at the
+    # source's 160 (80 train stills x flip): the DA loop consumes one
+    # batch per domain per step
+    make_learnable_dataset(data_root, "MVidVRD", 100, ".png", seed=12,
+                           hw=(600, 800), index_fmt="vid00_{:04d}",
+                           split_frac=0.8,
+                           min_obj=2, max_obj=6, size_range=(60, 220))
+    import pickle
+    prior = __import__("numpy").random.RandomState(9).dirichlet(
+        __import__("numpy").ones(5), size=(15, 15))
+    with open(os.path.join(data_root, "MVidVRD",
+                           "source_so_prior.pkl"), "wb") as f:
+        pickle.dump(prior, f)
+    print(f"bench600 dataset -> {data_root}", flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs/parity_r5")
@@ -71,6 +113,15 @@ def main(argv=None):
     ap.add_argument("--lr_decay_step", type=int, default=2,
                     help="decay x0.1 every N epochs (96-step epochs)")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--profile", default="parity240",
+                    choices=["parity240", "bench600"],
+                    help="parity240 = the round-3 parity corpus/recipe; "
+                         "bench600 = the bench's 600-px serving scale "
+                         "and reference anchors (cfgs/res101.yml) on a "
+                         "600-scale learnable corpus — gates evaluated "
+                         "at the EXACT scale the headline serves "
+                         "(round-4 verdict item 8's deployment-scale "
+                         "arm, architecture AND scale)")
     args = ap.parse_args(argv)
 
     import jax
@@ -92,9 +143,16 @@ def main(argv=None):
 
     from tools import parity_run as pr
     pr.HP["depth"] = args.depth
+    if args.profile == "bench600":
+        pr.HP["scales"] = 600
+        pr.HP["anchor_scales"] = [4, 8, 16]
+        pr.CFG_OVERRIDES = list(BENCH600_CFG)
 
     data_root = args.data or os.path.join(args.out, "data")
-    ensure_parity_data(data_root)
+    if args.profile == "bench600":
+        ensure_bench600_data(data_root)
+    else:
+        ensure_parity_data(data_root)
     os.environ["I2VSGG_DATA_ROOT"] = data_root
 
     from tools.trainval_det_da import main as train_main

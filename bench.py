@@ -811,26 +811,40 @@ def _gate_int8trunk(path="runs/quant_trunk_ab", tol=0.01, net="res101"):
             else (False, why, None, None))
 
 
-_RPN_ROWS = ((256, 32), (384, 48), (512, 64))  # smallest capacity first
+_RPN_ROWS = ((256, 32), (384, 48), (512, 64),
+             (1024, 128))  # smallest capacity first; last = det8-only cut
 
 
 def _gate_rpn_capacity(args,
-                       paths=("runs/capacity_ab_r101/capacity_ab.json",
+                       paths=("runs/capacity_ab_r101_600/capacity_ab.json",
+                              "runs/capacity_ab_r101/capacity_ab.json",
                               "runs/capacity_ab_r64b/capacity_ab.json",
                               "runs/capacity_ab_r64/capacity_ab.json"),
                        tol=0.01, rows=_RPN_ROWS):
-    """Pick the SMALLEST gated serving rpn capacity. A candidate row
+    """Pick the smallest gated serving rpn capacity. A candidate row
     pre{P}_rpn{N}_det8 passes when a converged-checkpoint capacity A/B
     artifact (tools/capacity_ab.py --ckpt) shows it within `tol` mAP of
     the pre1024_rpn128_det16 reference row in the SAME artifact (the
     quality bar is the FULL default capacity, not a softer det8
-    baseline; the base row doubles as a determinism check — a converged
-    ckpt evaluates ~0.28, ~0 means the eval itself was broken).
+    baseline; a converged ckpt evaluates well above _GATE_FLOOR, ~0
+    means the eval itself was broken).
+
+    `paths` is ordered by DEPLOYMENT REPRESENTATIVENESS (600-px
+    scale-matched res101 arm first, then the 240-scale res101 arm, then
+    the res50 history) and the FIRST artifact with a valid base row and
+    at least one candidate row is AUTHORITATIVE: its smallest passing
+    row wins, and if every candidate row it carries FAILs, the gate
+    fails — a later (less representative) artifact must NOT override a
+    scale-matched FAIL with its own pass (round 5: rpn32 passes on the
+    240-px corpus but LOSES 0.107 mAP on the 600-px corpus the bench
+    actually serves). Artifacts lacking candidate rows entirely only
+    add notes and fall through.
+
     Live-chip value: the rpn (+5.7 ms/32f) and det-head (+11.6) dissect
     lines are roi-proportional (PERF.md round 4), so each halving of the
-    roi count returns real budget."""
+    roi count returns real budget; the (1024, 128) row is the
+    det8-only cut for when no rpn capacity cut survives at scale."""
     import os
-    best = None           # (pre, topn, mAP, base_mAP, path)
     notes = []
     for path in paths:
         if not os.path.exists(path):
@@ -851,19 +865,23 @@ def _gate_rpn_capacity(args,
             notes.append(f"{path}: VOID (base row mAP {base:.4f} below "
                          f"sanity floor {_GATE_FLOOR} — broken eval?)")
             continue
+        seen_candidate = False
         for pre, topn in rows:
             k = f"pre{pre}_rpn{topn}_det8"
             if k not in r:
                 continue
+            seen_candidate = True
             if r[k]["mAP"] >= base - tol:
-                if best is None or pre < best[0]:
-                    best = (pre, topn, r[k]["mAP"], base, path)
-                break     # rows are smallest-first: first pass is best
+                return True, (f"PASS (rpn{topn}/pre{pre}/det8 mAP "
+                              f"{r[k]['mAP']:.4f} vs default {base:.4f}; "
+                              f"{path})"), pre, topn
             notes.append(f"{k} FAIL ({r[k]['mAP']:.4f} vs {base:.4f})")
-    if best is not None:
-        pre, topn, m, base, path = best
-        return True, (f"PASS (rpn{topn}/pre{pre}/det8 mAP {m:.4f} vs "
-                      f"default {base:.4f}; {path})"), pre, topn
+        if seen_candidate:
+            # authoritative artifact: every candidate row it carries
+            # failed — no capacity cut ships
+            return False, ("FAIL (" + "; ".join(notes)
+                           + f" — authoritative artifact {path})"), 512, 64
+        notes.append(f"{path}: no candidate rows")
     why = ("FAIL/NOT RUN (" + "; ".join(notes) + ")") if notes \
         else "NOT RUN (no artifacts)"
     return False, why, 512, 64

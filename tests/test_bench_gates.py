@@ -235,20 +235,38 @@ def test_rpn_capacity_gate_picks_smallest_passing_row(bench, tmp_path):
     assert not ok and "FAIL" in why and (pre, topn) == (512, 64)
 
 
-def test_rpn_capacity_gate_takes_best_across_artifacts(bench, tmp_path):
-    a = tmp_path / "a.json"   # newer artifact: rpn32 passes
+def test_rpn_capacity_gate_first_artifact_is_authoritative(bench,
+                                                           tmp_path):
+    """paths are ordered by deployment representativeness; the FIRST
+    artifact with a valid base row and candidate rows decides. A
+    scale-matched FAIL must not be overridden by a less representative
+    artifact's pass (round 5: rpn32 passed the 240-px corpus but lost
+    0.107 mAP on the 600-px corpus the bench serves)."""
+    a = tmp_path / "a.json"   # most representative: only rpn64 passes
     a.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre256_rpn32_det8": {"mAP": 0.150},   # FAILs here
+        "pre512_rpn64_det8": {"mAP": 0.249},
+    }}))
+    b = tmp_path / "b.json"   # older/less representative: rpn32 passes
+    b.write_text(json.dumps({"results": {
         "pre1024_rpn128_det16": {"mAP": 0.250},
         "pre256_rpn32_det8": {"mAP": 0.246},
     }}))
-    b = tmp_path / "b.json"   # older artifact: only rpn64 passes
-    b.write_text(json.dumps({"results": {
+    ok, why, pre, topn = bench._gate_rpn_capacity(
+        _args(), paths=(str(a), str(b)))
+    assert ok and (pre, topn) == (512, 64) and str(a) in why
+
+    # every candidate row of the authoritative artifact fails -> the
+    # gate FAILS; the later artifact's pass must not resurrect the cut
+    a.write_text(json.dumps({"results": {
         "pre1024_rpn128_det16": {"mAP": 0.250},
-        "pre512_rpn64_det8": {"mAP": 0.249},
+        "pre256_rpn32_det8": {"mAP": 0.150},
+        "pre512_rpn64_det8": {"mAP": 0.200},
     }}))
     ok, why, pre, topn = bench._gate_rpn_capacity(
-        _args(), paths=(str(b), str(a)))
-    assert ok and (pre, topn) == (256, 32)
+        _args(), paths=(str(a), str(b)))
+    assert not ok and "authoritative" in why
 
     # a VOID base row (broken eval) poisons only its own artifact
     a.write_text(json.dumps({"results": {
@@ -256,10 +274,33 @@ def test_rpn_capacity_gate_takes_best_across_artifacts(bench, tmp_path):
         "pre256_rpn32_det8": {"mAP": 0.001},
     }}))
     ok, why, pre, topn = bench._gate_rpn_capacity(
-        _args(), paths=(str(b), str(a)))
-    assert ok and (pre, topn) == (512, 64) and "PASS" in why
+        _args(), paths=(str(a), str(b)))
+    assert ok and (pre, topn) == (256, 32) and "PASS" in why
+
+    # an artifact with a base row but NO candidate rows only adds a
+    # note and falls through
+    a.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+    }}))
+    ok, why, pre, topn = bench._gate_rpn_capacity(
+        _args(), paths=(str(a), str(b)))
+    assert ok and (pre, topn) == (256, 32)
 
     # missing artifacts alone -> not run, default capacity returned
     ok, why, pre, topn = bench._gate_rpn_capacity(
         _args(), paths=(str(tmp_path / "no.json"),))
     assert not ok and (pre, topn) == (512, 64)
+
+
+def test_rpn_capacity_gate_det8_only_row(bench, tmp_path):
+    """When no rpn capacity cut survives, the (1024, 128) det8-only row
+    can still cash the pair-tower cut at full proposal capacity."""
+    a = tmp_path / "a.json"
+    a.write_text(json.dumps({"results": {
+        "pre1024_rpn128_det16": {"mAP": 0.250},
+        "pre256_rpn32_det8": {"mAP": 0.150},
+        "pre512_rpn64_det8": {"mAP": 0.200},
+        "pre1024_rpn128_det8": {"mAP": 0.248},
+    }}))
+    ok, why, pre, topn = bench._gate_rpn_capacity(_args(), paths=(str(a),))
+    assert ok and (pre, topn) == (1024, 128)

@@ -289,7 +289,14 @@ def _round4_sections(lines):
             ("runs/capacity_ab_r101/capacity_ab.json",
              "res101 serving-capacity gate rows "
              "(matching-architecture arm, smallest PASSing row wins)",
-             r101_note)):
+             r101_note),
+            ("runs/capacity_ab_r101_600/capacity_ab.json",
+             "res101@600 serving-capacity gate rows "
+             "(scale- AND architecture-matched arm)",
+             "— a FRESH res101 arm trained at the bench's own 600-px "
+             "serving scale (tools/train_gate_arm.py --profile "
+             "bench600; cfgs/res101.yml anchors). The gate rows are "
+             "evaluated at the exact scale the headline serves:")):
         cap64 = _load(path)
         if not cap64.get("results"):
             continue

@@ -812,7 +812,12 @@ def _gate_int8trunk(path="runs/quant_trunk_ab", tol=0.01, net="res101"):
 
 
 _RPN_ROWS = ((256, 32), (384, 48), (512, 64),
-             (1024, 128))  # smallest capacity first; last = det8-only cut
+             (512, 128), (768, 128),
+             (1024, 128))  # smallest capacity first. The (·, 128) rows
+# cut only pre-NMS / det: at 600-scale the binding constraint is the
+# POST-NMS top-N (rpn64 lost 0.069 mAP at pre512 AND pre1024 — the
+# pre-NMS pool showed zero sensitivity), so pre-only cuts are the
+# remaining capacity lever; (1024, 128) is the det8-only fallback.
 
 
 def _gate_rpn_capacity(args,

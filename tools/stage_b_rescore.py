@@ -147,12 +147,20 @@ def main(argv=None):
             "raw_cosine": metrics(raws, labs),
             "sharp_T0.25": metrics([_softmax(s[None], 4.0)[0]
                                     for s in raws], labs),
+            # flatter per-pair distributions: if pred-mAP RISES while
+            # top-1 is unchanged, the protocol metric rewards flatness,
+            # completing the monotone sharpness->mAP story
+            "flat_T4": metrics([_softmax(s[None], 0.25)[0]
+                                for s in raws], labs),
             "soprior_fused": metrics(fused, labs),
         }
 
-    results = {}
     os.makedirs(args.out, exist_ok=True)
     path = os.path.join(args.out, "stage_b_rescore.json")
+    results = {}
+    if os.path.exists(path):            # accumulate across invocations
+        with open(path) as f:
+            results = json.load(f)
     for seed in (int(s) for s in args.seeds.split(",")):
         for arm in args.arms.split(","):
             print(f"=== {arm} seed {seed} ===", flush=True)
